@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never require real TPU hardware; sharding tests use
+xla_force_host_platform_device_count to emulate a multi-chip mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
