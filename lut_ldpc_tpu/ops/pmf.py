@@ -197,6 +197,12 @@ def chk_update_minsum(p_in: np.ndarray, dc: int) -> np.ndarray:
     c[k] = a[k] * B>=k + b[k] * A>k (suffix sums).  Matches the quadratic-loop
     accumulation of LDPC_DE.cpp:1061-1089 up to fp summation order.
     """
+    from .._native import chk_update_minsum_native
+
+    native = chk_update_minsum_native(np.asarray(p_in, dtype=np.float64), dc)
+    if native is not None:
+        return native
+
     p_in = np.asarray(p_in, dtype=np.float64)
     a_plus = pmf_plus(p_in)
     a_minus = pmf_minus(p_in)

@@ -81,6 +81,12 @@ def quant_mi_sym(p_in: np.ndarray, Nq: int, is_sorted: bool = False):
     if K % 2 != 0:
         raise ValueError("quant_mi_sym: number of output labels must be even")
 
+    from .._native import quant_mi_sym_native
+
+    native = quant_mi_sym_native(p_in, K, is_sorted)
+    if native is not None:
+        return native
+
     if not is_sorted:
         p_sorted, idx_in, idx_sorted = sym_llr_sort_unique(p_in)
         M = len(p_sorted)

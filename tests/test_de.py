@@ -1,0 +1,148 @@
+"""Density-evolution engine tests.
+
+The headline regression (full 2000-iteration threshold search matching the
+reference's published sigma* = 0.929193 exactly) is marked slow; the routine
+suite pins faster reduced-iteration thresholds computed with the same engine.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lut_ldpc_tpu.core.ensemble import LDPCEnsemble
+from lut_ldpc_tpu.design.de import DELut, get_lam2stable_cbp, get_lam2stable_lut
+from lut_ldpc_tpu.design.templates import get_lut_tree_templates
+from lut_ldpc_tpu.ops.pmf import sig2snr
+
+REF = "/root/reference"
+HAVE_REF = os.path.isdir(REF)
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference assets not mounted")
+
+ENS_IRR = f"{REF}/ensembles/rate0.50_dv02-17_dc08-09_lut_q4.ens"
+ENS_REG = f"{REF}/ensembles/rate0.50_dv03_dc06.ens"
+
+
+def make_de(ens_path, maxiter, strategy="joint_root", reuse=None):
+    ens = LDPCEnsemble.read(ens_path)
+    Nq = np.full(maxiter, 16)
+    var_t, _ = get_lut_tree_templates("auto_bin_balanced", ens, Nq, 16, min_lut=True)
+    de = DELut(
+        ens, 16, Nq, maxiter, var_t, [],
+        reuse_vec=reuse, thr_prec=1e-5, Pe_max=1e-10, maxiter_bisec=50,
+        irregular_design_strategy=strategy,
+    )
+    de.set_bisec_window(1e-7, de.thr_max)
+    return de
+
+
+def test_threshold_quick_irregular():
+    """30-iteration threshold of the flagship irregular ensemble (pinned)."""
+    n, thr = make_de(ENS_IRR, 30).bisec_search()
+    assert n == 18
+    assert thr == pytest.approx(0.718960, abs=2e-5)
+
+
+def test_threshold_quick_regular():
+    n, thr = make_de(ENS_REG, 30).bisec_search()
+    assert n == 18
+    assert thr == pytest.approx(0.846233, abs=2e-5)
+
+
+@pytest.mark.slow
+def test_threshold_published_exact():
+    """Reference README worked example (README.md:155-177): sigma* = 0.929193,
+    Eb/N0 = 0.637884 dB, 20 bisection iterations, 2000 DE iterations."""
+    de = make_de(ENS_IRR, 2000)
+    n, thr = de.bisec_search()
+    assert n == 20
+    assert thr == pytest.approx(0.929193, abs=1e-5)
+    assert sig2snr(de.ens.rate(), thr) == pytest.approx(0.637884, abs=1e-4)
+    # published lam2 = 0.131418; the fixed-point stop is libm-sensitive
+    assert de.get_lam2stable(thr) == pytest.approx(0.131418, rel=3e-3)
+
+
+def test_evolve_monotone_below_threshold():
+    de = make_de(ENS_REG, 60)
+    code, _, p, _, _ = de.evolve(0.7, var_trace=True)
+    assert code >= 0
+    assert p[-1] < p[0]  # Pe decreased
+
+
+def test_evolve_fails_above_shannon():
+    de = make_de(ENS_REG, 60)
+    code, *_ = de.evolve(1.1)
+    assert code == -1
+
+
+def test_save_luts_reuse_bookkeeping():
+    reuse = np.zeros(30, dtype=bool)
+    reuse[2::3] = True
+    reuse[-1] = False
+    de = make_de(ENS_REG, 30, reuse=reuse)
+    var_trees, chk_trees = de.get_lut_trees(0.8)
+    assert len(var_trees) == 30 - int(reuse.sum())
+    assert chk_trees == []  # min-LUT: no chk trees
+    from lut_ldpc_tpu.core.trees import DECTREE
+
+    assert var_trees[-1][0].type == DECTREE
+    assert var_trees[-1][0].root.K == 2  # hard decision
+    # designed trees carry LUTs at every internal node
+    for row in var_trees:
+        for t in row:
+            assert t.root.Q is not None
+
+
+def test_quant_bounds_symmetric():
+    de = make_de(ENS_IRR, 30)
+    qb_cha, qb_msg = de.get_quant_bound(0.88)
+    assert len(qb_cha) == 15 and len(qb_msg) == 15
+    assert np.allclose(qb_cha + qb_cha[::-1], 0)  # symmetric around 0
+    assert np.all(np.diff(qb_cha) > 0)  # strictly increasing
+    assert qb_cha[7] == 0.0
+
+
+def test_strategies_ranking():
+    """joint_level and joint_root outperform individual design for irregular
+    ensembles (the SPAWC'17 observation the reference encodes)."""
+    thr = {}
+    for strat in ("individual", "joint_root"):
+        _, thr[strat] = make_de(ENS_IRR, 30, strategy=strat).bisec_search()
+    assert thr["joint_root"] > thr["individual"]
+
+
+def test_adaptive_reuse():
+    de = make_de(ENS_REG, 40)
+    reuse = de.evolve_adaptive_reuse(0.7, rel_increase_max=0.5, rel_decrease_min=0.0, reuse_max=3)
+    assert reuse.dtype == bool
+    assert not reuse[0] if len(reuse) else True
+    # with a generous acceptance the vector should contain some reuse
+    assert reuse.sum() > 0
+
+
+def test_stability_functionals():
+    ens = LDPCEnsemble.read(ENS_IRR)
+    rho = ens.chk_degree_dist_dense()
+    l_cbp = get_lam2stable_cbp(0.9, rho)
+    l_lut = get_lam2stable_lut(0.9, rho, 16, 16)
+    assert l_cbp > 0 and l_lut > 0
+    # quantization can't make the channel better than continuous BP
+    assert l_lut <= l_cbp * 1.01
+
+
+def test_tree_templates_from_file():
+    ens = LDPCEnsemble(
+        np.array([2, 3, 8, 9]), np.array([0.2, 0.3, 0.3, 0.2]),
+        np.array([6, 7, 8]), np.array([0.3, 0.4, 0.3]),
+    )
+    Nq = np.full(5, 16)
+    var_t, chk_t = get_lut_tree_templates(
+        f"filename={REF}/trees/tree_file_example.ini", ens, Nq, 16, min_lut=False
+    )
+    assert len(var_t) == 5 and len(chk_t) == 5
+    assert var_t[0][0].template_string() == "rm/c//"
+    assert var_t[0][2].num_leaves == 8
+    from lut_ldpc_tpu.core.trees import DECTREE
+
+    assert var_t[-1][0].type == DECTREE and var_t[-1][0].num_leaves == 3
+    assert chk_t[0][0].num_leaves == 5  # chk_deg_006 has d-1 leaves
