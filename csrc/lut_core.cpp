@@ -83,7 +83,8 @@ int64_t sym_llr_sort_unique(const double* p_in, int64_t M_in, double llr_delta,
 double quant_mi_sym(const double* p_in, int64_t M_in, int64_t Nq, int32_t is_sorted,
                     double* p_out, int64_t* Q_out) {
   const int64_t K = Nq;
-  if (M_in % 2 != 0 || K % 2 != 0) return std::numeric_limits<double>::quiet_NaN();
+  if (M_in % 2 != 0 || K < 2 || K % 2 != 0)
+    return std::numeric_limits<double>::quiet_NaN();
 
   std::vector<double> p_sorted_buf(M_in);
   std::vector<int64_t> idx_in(M_in), idx_sorted(M_in);

@@ -1,0 +1,14 @@
+from .codec import CONT, QCHA, LUTCodec
+from .layout import TreeProgram, leave_one_out_idx, tree_program
+from .lut_decoder import LUTDecoder, cn_minsum
+
+__all__ = [
+    "CONT",
+    "QCHA",
+    "LUTCodec",
+    "LUTDecoder",
+    "TreeProgram",
+    "cn_minsum",
+    "leave_one_out_idx",
+    "tree_program",
+]

@@ -1,0 +1,382 @@
+"""The designed LUT codec: decoder artifact + design entry point.
+
+Equivalent of LDPC_Code_LUT (/root/reference/src/LDPC_Code_LUT.{hpp,cpp}):
+holds the Tanner graph layout, quantizer boundaries, per-iteration LUT trees
+with reuse bookkeeping, and the optional systematic generator.  `design`
+mirrors design_luts (cpp:699-746); `save`/`load` persist the full artifact
+(npz container, trees in the reference's text format so they remain
+interchangeable); `decode_ref` is the scalar golden model of lut_decode
+(cpp:259-353) used to validate the batched TPU decoder.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.gf2 import make_systematic_generator
+from ..core.tanner import TannerGraph
+from ..core.trees import LUTTree, deserialize_tree_array, serialize_tree_array
+from ..design.de import DELut
+from ..design.templates import get_lut_tree_templates
+from ..ops.pmf import get_gaussian_pmf
+from ..ops.quant import quant_mi_sym, quant_nonlin
+
+__all__ = ["LUTCodec", "CONT", "QCHA"]
+
+CONT, QCHA = "cont", "qcha"  # initial message modes (LDPC_Code_LUT.hpp:78-84)
+
+CODEC_FILE_VERSION = 1
+
+
+@dataclass
+class LUTCodec:
+    graph: TannerGraph
+    max_iters: int
+    Nq_Cha: int
+    Nq_Msg: np.ndarray  # (max_iters,) per-iteration message resolutions
+    qb_Cha: np.ndarray  # (Nq_Cha-1,) continuous-LLR channel quantizer boundaries
+    qb_Msg: np.ndarray  # (Nq_Msg[0]-1,) initial-message quantizer boundaries
+    cha2msg_map: np.ndarray  # (Nq_Cha,) channel-label -> initial-message-label
+    reuse_vec: np.ndarray  # (max_iters,) bool
+    min_lut: bool
+    var_trees: list  # [stored iteration][active degree] LUTTree
+    chk_trees: list  # [] when min_lut
+    nchk_lin_indep: int = -1
+    initial_message_mode: str = CONT
+    # systematic generator (column-permuted; None = not built)
+    gen_perm: np.ndarray | None = None
+    gen_T: np.ndarray | None = None
+    # derived
+    var_tree_idx_iter: np.ndarray = field(init=False)
+    var_tree_degrees: np.ndarray = field(init=False)
+    chk_tree_degrees: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.Nq_Msg = np.asarray(self.Nq_Msg, dtype=np.int64)
+        self.reuse_vec = np.asarray(self.reuse_vec, dtype=bool)
+        if len(self.reuse_vec) != self.max_iters:
+            raise ValueError("reuse_vec length must equal max_iters")
+        if self.reuse_vec[0] or self.reuse_vec[-1]:
+            # LDPC_Code_LUT.cpp:122
+            raise ValueError("first and last iteration are exempt from tree reuse")
+        # iteration -> stored tree row (cumsum(reuse==0)-1, LDPC_Code_LUT.cpp:125)
+        self.var_tree_idx_iter = np.cumsum(~self.reuse_vec) - 1
+        self.var_tree_degrees = np.array(
+            [t.num_leaves for t in self.var_trees[0]], dtype=np.int64
+        )
+        if self.chk_trees:
+            self.chk_tree_degrees = np.array(
+                [t.num_leaves + 1 for t in self.chk_trees[0]], dtype=np.int64
+            )
+        else:
+            self.chk_tree_degrees = np.zeros(0, dtype=np.int64)
+        if self.nchk_lin_indep < 0:
+            from ..core.gf2 import gf2_rank
+
+            if self.graph.nvar < 1e5:
+                self.nchk_lin_indep = gf2_rank(self._dense_H())
+            else:
+                self.nchk_lin_indep = self.graph.nchk
+
+    # ------------------------------------------------------------------
+    def _dense_H(self) -> np.ndarray:
+        H = np.zeros((self.graph.nchk, self.graph.nvar), dtype=np.uint8)
+        for d in self.graph.cn_degrees:
+            d = int(d)
+            H[self.graph.cn_node_idx[d][:, None], self.graph.cn_var_idx[d]] = 1
+        return H
+
+    @property
+    def nvar(self) -> int:
+        return self.graph.nvar
+
+    @property
+    def nchk(self) -> int:
+        return self.graph.nchk
+
+    @property
+    def k(self) -> int:
+        """Number of systematic (information) bits."""
+        return self.graph.nvar - self.nchk_lin_indep
+
+    def rate(self) -> float:
+        return self.k / self.graph.nvar
+
+    def var_tree(self, it: int, degree: int) -> LUTTree:
+        dd = int(np.nonzero(self.var_tree_degrees == degree)[0][0])
+        return self.var_trees[int(self.var_tree_idx_iter[it])][dd]
+
+    def chk_tree(self, it: int, degree: int) -> LUTTree:
+        dd = int(np.nonzero(self.chk_tree_degrees == degree)[0][0])
+        return self.chk_trees[int(self.var_tree_idx_iter[it])][dd]
+
+    # ------------------------------------------------------------------
+    # design (LDPC_Code_LUT.cpp:699-746)
+    # ------------------------------------------------------------------
+    @classmethod
+    def design(
+        cls,
+        graph: TannerGraph,
+        sigma2: float,
+        max_iters: int,
+        Nq_Cha: int = 16,
+        Nq_Msg: int | np.ndarray = 16,
+        tree_method: str = "auto_bin_balanced",
+        min_lut: bool = True,
+        reuse_vec: np.ndarray | None = None,
+        irregular_design_strategy: str = "joint_root",
+        ens=None,
+        build_generator: bool = False,
+    ) -> "LUTCodec":
+        """Run DE at noise power sigma2 and assemble the decoder artifact.
+
+        With build_generator, H's columns are permuted for a systematic
+        generator (like IT++ LDPC_Generator_Systematic) and the returned
+        codec's graph is the *permuted* one.
+        """
+        if np.isscalar(Nq_Msg):
+            Nq_Msg = np.full(max_iters, int(Nq_Msg), dtype=np.int64)
+        Nq_Msg = np.asarray(Nq_Msg, dtype=np.int64)
+        if reuse_vec is None:
+            reuse_vec = np.zeros(max_iters, dtype=bool)
+        if ens is None:
+            ens = graph.empirical_ensemble()
+
+        gen_perm = gen_T = None
+        nchk_lin_indep = -1
+        if build_generator:
+            H = np.zeros((graph.nchk, graph.nvar), dtype=np.uint8)
+            for d in graph.cn_degrees:
+                d = int(d)
+                H[graph.cn_node_idx[d][:, None], graph.cn_var_idx[d]] = 1
+            perm, gen_T, rank = make_systematic_generator(H)
+            graph = TannerGraph.from_dense(H[:, perm])
+            gen_perm = perm
+            nchk_lin_indep = rank
+
+        var_templates, chk_templates = get_lut_tree_templates(
+            tree_method, ens, Nq_Msg, Nq_Cha, min_lut
+        )
+        de = DELut(
+            ens,
+            Nq_Cha,
+            Nq_Msg,
+            max_iters,
+            var_templates,
+            chk_templates if not min_lut else None,
+            reuse_vec=reuse_vec,
+            irregular_design_strategy=irregular_design_strategy,
+        )
+        sig = float(np.sqrt(sigma2))
+        qb_Cha, qb_Msg = de.get_quant_bound(sig)
+        var_trees, chk_trees = de.get_lut_trees(sig)
+
+        # channel-label -> initial-message-label map (LDPC_Code_LUT.cpp:735-741)
+        LLR_max = 25.0
+        delta = 2 * LLR_max / Nq_Cha
+        pmf_channel = get_gaussian_pmf(2 / sigma2, 2 / sig, Nq_Cha, delta)
+        _, _, cha2msg_map = quant_mi_sym(pmf_channel, int(Nq_Msg[0]), is_sorted=True)
+
+        return cls(
+            graph=graph,
+            max_iters=max_iters,
+            Nq_Cha=Nq_Cha,
+            Nq_Msg=Nq_Msg,
+            qb_Cha=qb_Cha,
+            qb_Msg=qb_Msg,
+            cha2msg_map=cha2msg_map,
+            reuse_vec=reuse_vec,
+            min_lut=min_lut,
+            var_trees=var_trees,
+            chk_trees=chk_trees,
+            nchk_lin_indep=nchk_lin_indep,
+            gen_perm=gen_perm,
+            gen_T=gen_T,
+        )
+
+    # ------------------------------------------------------------------
+    # encode / quantize
+    # ------------------------------------------------------------------
+    def encode(self, u: np.ndarray) -> np.ndarray:
+        """Systematic encode: x = [u, parity] of the (permuted) H."""
+        if self.gen_T is None:
+            raise ValueError("encode: no generator built")
+        u = np.asarray(u, dtype=np.uint8)
+        parity = (u @ self.gen_T) % 2
+        return np.concatenate([u, parity.astype(np.uint8)], axis=-1)
+
+    def quantize_channel(self, llr: np.ndarray):
+        """Continuous LLR -> (channel labels, initial message labels)
+        (LDPC_Code_LUT.cpp:204-221)."""
+        llr_cha = quant_nonlin(llr, self.qb_Cha)
+        if self.initial_message_mode == CONT:
+            llr_msg = quant_nonlin(llr, self.qb_Msg)
+        else:
+            llr_msg = self.cha2msg_map[llr_cha]
+        return llr_cha, llr_msg
+
+    # ------------------------------------------------------------------
+    # scalar golden decoder (LDPC_Code_LUT.cpp:259-353)
+    # ------------------------------------------------------------------
+    def decode_ref(self, llr_cha: np.ndarray, llr_msg: np.ndarray, psc: bool = True):
+        """Single-frame scalar decode; returns (hard bits, iterations).
+
+        Positive return = converged at that iteration, negative = failure
+        after max_iters (reference return-code convention).  psc = per-
+        iteration syndrome check / early exit (LDPC_Code_LUT `psc` flag).
+        """
+        g = self.graph
+        llr_cha = np.asarray(llr_cha, dtype=np.int64)
+        llr_msg = np.asarray(llr_msg, dtype=np.int64)
+        edge_var = g.var_llr_edge_expand()
+        msgs = llr_msg[edge_var].copy()
+
+        # per-node edge lists (VN-major layout)
+        starts = np.concatenate([[0], np.cumsum(g.dv_vec)])
+        vn_edges = [np.arange(starts[v], starts[v + 1]) for v in range(g.nvar)]
+        cn_edges = [None] * g.nchk
+        cn_vars = [None] * g.nchk
+        for d in g.cn_degrees:
+            d = int(d)
+            for j, c in enumerate(g.cn_node_idx[d]):
+                cn_edges[int(c)] = g.cn_edge_idx[d][j]
+                cn_vars[int(c)] = g.cn_var_idx[d][j]
+
+        def syndrome_ok(b):
+            for c in range(g.nchk):
+                if int(b[cn_vars[c]].sum()) % 2:
+                    return False
+            return True
+
+        def unanimity(nz):
+            b = np.zeros(g.nvar, dtype=np.uint8)
+            for v in range(g.nvar):
+                neg = msgs[vn_edges[v]] < nz
+                if not (neg.all() or (~neg).all()):
+                    return None
+                b[v] = 1 if neg[0] else 0
+            return b if syndrome_ok(b) else None
+
+        for ii in range(self.max_iters):
+            nz = int(self.Nq_Msg[ii]) // 2
+            # CN pass
+            for c in range(g.nchk):
+                e = cn_edges[c]
+                if self.min_lut:
+                    msgs[e] = _chk_minsum_scalar(msgs[e], nz)
+                else:
+                    tree = self.chk_tree(ii, len(e))
+                    msgs[e] = tree.chk_msg_update(list(int(x) for x in msgs[e]))
+            # VN pass (skipped on last iteration)
+            if ii != self.max_iters - 1:
+                for v in range(g.nvar):
+                    e = vn_edges[v]
+                    tree = self.var_tree(ii, len(e))
+                    msgs[e] = tree.var_msg_update(
+                        [int(x) for x in msgs[e]], int(llr_cha[v])
+                    )
+                if psc:
+                    b = unanimity(int(self.Nq_Msg[ii + 1]) // 2)
+                    if b is not None:
+                        return b, ii + 1
+        # decision pass
+        b = np.zeros(g.nvar, dtype=np.uint8)
+        for v in range(g.nvar):
+            e = vn_edges[v]
+            tree = self.var_tree(self.max_iters - 1, len(e))
+            out = tree.dec_update([int(x) for x in msgs[e]], int(llr_cha[v]))
+            b[v] = 1 if out < 1 else 0
+        return b, (self.max_iters if syndrome_ok(b) else -self.max_iters)
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        g = self.graph
+        H = self._dense_H()
+        col_lists = [np.nonzero(H[:, v])[0].astype(np.int32) for v in range(g.nvar)]
+        cols_flat = np.concatenate(col_lists) if col_lists else np.zeros(0, np.int32)
+        arrays = dict(
+            file_version=np.int64(CODEC_FILE_VERSION),
+            nvar=np.int64(g.nvar),
+            nchk=np.int64(g.nchk),
+            nchk_lin_indep=np.int64(self.nchk_lin_indep),
+            dv_vec=g.dv_vec.astype(np.int32),
+            cols_flat=cols_flat,
+            max_iters=np.int64(self.max_iters),
+            Nq_Cha=np.int64(self.Nq_Cha),
+            Nq_Msg=self.Nq_Msg,
+            qb_Cha=self.qb_Cha,
+            qb_Msg=self.qb_Msg,
+            cha2msg_map=self.cha2msg_map,
+            reuse_vec=self.reuse_vec,
+            min_lut=np.bool_(self.min_lut),
+            initial_message_mode=np.str_(self.initial_message_mode),
+            var_tree_string=np.str_(serialize_tree_array(self.var_trees)),
+            chk_tree_string=np.str_(serialize_tree_array(self.chk_trees)),
+        )
+        if self.gen_perm is not None:
+            arrays["gen_perm"] = self.gen_perm.astype(np.int64)
+            arrays["gen_T"] = self.gen_T.astype(np.uint8)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "LUTCodec":
+        z = np.load(path, allow_pickle=False)
+        ver = int(z["file_version"])
+        if ver != CODEC_FILE_VERSION:
+            raise ValueError(f"unsupported codec file version {ver}")
+        nvar = int(z["nvar"])
+        nchk = int(z["nchk"])
+        dv_vec = z["dv_vec"]
+        cols_flat = z["cols_flat"]
+        starts = np.concatenate([[0], np.cumsum(dv_vec)])
+        cols = [cols_flat[starts[v] : starts[v + 1]] for v in range(nvar)]
+        graph = TannerGraph.from_cols(cols, nvar, nchk)
+        var_trees = deserialize_tree_array(io.StringIO(str(z["var_tree_string"])))
+        chk_trees = deserialize_tree_array(io.StringIO(str(z["chk_tree_string"])))
+        return cls(
+            graph=graph,
+            max_iters=int(z["max_iters"]),
+            Nq_Cha=int(z["Nq_Cha"]),
+            Nq_Msg=z["Nq_Msg"],
+            qb_Cha=z["qb_Cha"],
+            qb_Msg=z["qb_Msg"],
+            cha2msg_map=z["cha2msg_map"],
+            reuse_vec=z["reuse_vec"],
+            min_lut=bool(z["min_lut"]),
+            var_trees=var_trees,
+            chk_trees=chk_trees,
+            nchk_lin_indep=int(z["nchk_lin_indep"]),
+            initial_message_mode=str(z["initial_message_mode"]),
+            gen_perm=z["gen_perm"] if "gen_perm" in z.files else None,
+            gen_T=z["gen_T"] if "gen_T" in z.files else None,
+        )
+
+    def integrity_check(self) -> bool:
+        """Encode shifted unit vectors; syndrome-check each codeword
+        (LDPC_Code_LUT.cpp:547-566)."""
+        if self.gen_T is None:
+            return True
+        H = self._dense_H()
+        k = self.k
+        u = np.eye(k, dtype=np.uint8)
+        x = self.encode(u)
+        return bool(((H @ x.T) % 2 == 0).all())
+
+
+def _chk_minsum_scalar(m: np.ndarray, nz: int) -> np.ndarray:
+    """Integer label min-sum CN update (LDPC_Code_LUT.cpp:355-402)."""
+    neg = m < nz
+    mag = np.where(neg, nz - 1 - m, m - nz)
+    order = np.argsort(mag, kind="stable")
+    min_idx = order[0]
+    min1 = mag[min_idx]
+    min2 = np.min(np.delete(mag, min_idx)) if len(m) > 1 else nz
+    sign_prod = int(neg.sum()) & 1
+    tmp = np.where(np.arange(len(m)) == min_idx, min2, min1)
+    sign_msg = sign_prod ^ neg.astype(np.int64)
+    return np.where(sign_msg == 1, nz - 1 - tmp, nz + tmp)

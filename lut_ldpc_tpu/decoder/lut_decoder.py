@@ -1,0 +1,209 @@
+"""Batched LUT message-passing decoder (the TPU hot path).
+
+Re-expresses lut_decode (/root/reference/src/LDPC_Code_LUT.cpp:259-353) as
+dense batched tensor ops over a frame batch:
+
+- messages live in one flat (B, E) int32 tensor in VN-major edge order;
+- each degree group's node update is gather -> (B, n_d, d[, d]) compute ->
+  scatter, with the leave-one-out arrangement materialized as one extra
+  tensor axis instead of the reference's per-edge scalar re-evaluations;
+- LUT-tree node updates are TreeProgram gathers (see layout.py); the min-LUT
+  CN update is a vectorized two-min + sign-parity pass
+  (LDPC_Code_LUT.cpp:355-402);
+- the per-iteration syndrome check (message unanimity, cpp:327, 437-452)
+  becomes a masked latch: converged frames record their output and iteration
+  without divergent control flow, so BER statistics match the reference's
+  early-exit decoder exactly.
+
+The iteration loop is unrolled at trace time (iteration-dependent LUT tables
+are compile-time constants; XLA folds the per-iteration graphs), which is
+what lets every lookup stay a VMEM-resident vector gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .codec import LUTCodec
+from .layout import TreeProgram, leave_one_out_idx, tree_program
+
+__all__ = ["LUTDecoder", "cn_minsum"]
+
+
+def cn_minsum(m: jnp.ndarray, nz: int) -> jnp.ndarray:
+    """Vectorized integer-label min-sum CN update over the last axis.
+
+    m: (..., d) labels in [0, 2*nz); output same shape.  Matches
+    LDPC_Code_LUT.cpp:355-402 including first-minimum index tie-breaking
+    (only min1/min2 values affect outputs, so argmin suffices).
+    """
+    d = m.shape[-1]
+    neg = m < nz
+    mag = jnp.where(neg, nz - 1 - m, m - nz)
+    min1 = jnp.min(mag, axis=-1, keepdims=True)
+    idx = jnp.argmin(mag, axis=-1)
+    is_min = jnp.arange(d, dtype=jnp.int32) == idx[..., None]
+    min2 = jnp.min(jnp.where(is_min, nz, mag), axis=-1, keepdims=True)
+    sign_prod = jnp.sum(neg, axis=-1, keepdims=True) & 1
+    tmp = jnp.where(is_min, min2, min1)
+    sign_msg = sign_prod ^ neg.astype(jnp.int32)
+    return jnp.where(sign_msg == 1, nz - 1 - tmp, nz + tmp)
+
+
+def _eval_program(prog: TreeProgram, tables: list, x: jnp.ndarray) -> jnp.ndarray:
+    """Run a TreeProgram on x (..., num_inputs) int32; returns (...,) int32."""
+    vals = [x[..., i] for i in range(prog.num_inputs)]
+    for op, table in zip(prog.ops, tables):
+        label = vals[op.operands[0]] * op.bases[0]
+        for b, s in zip(op.bases[1:], op.operands[1:]):
+            label = label + b * vals[s]
+        vals.append(jnp.take(table, label))
+    return vals[-1]
+
+
+class LUTDecoder:
+    """Compiles a designed LUTCodec into a jittable batched decode function.
+
+    decode(llr_cha, llr_msg) with int32 (B, nvar) label inputs returns
+    (bits (B, nvar) uint8, ok (B,) bool, iters (B,) int32) where iters is the
+    convergence iteration (max_iters when never unanimous, matching the
+    reference's return convention).
+    """
+
+    def __init__(self, codec: LUTCodec, early_exit: bool = True):
+        self.codec = codec
+        self.early_exit = early_exit
+        g = codec.graph
+        self.nvar = g.nvar
+        self.num_edges = g.num_edges
+        self._edge_var = jnp.asarray(g.var_llr_edge_expand())
+        self._vn_degrees = [int(d) for d in g.vn_degrees]
+        self._cn_degrees = [int(d) for d in g.cn_degrees]
+        self._vn_edge_idx = {d: jnp.asarray(g.vn_edge_idx[d]) for d in self._vn_degrees}
+        self._vn_node_idx = {d: jnp.asarray(g.vn_node_idx[d]) for d in self._vn_degrees}
+        self._cn_edge_idx = {d: jnp.asarray(g.cn_edge_idx[d]) for d in self._cn_degrees}
+        self._cn_var_idx = {d: jnp.asarray(g.cn_var_idx[d]) for d in self._cn_degrees}
+        self._vn_loo = {d: jnp.asarray(leave_one_out_idx(d + 1, d)) for d in self._vn_degrees}
+        self._cn_loo = {d: jnp.asarray(leave_one_out_idx(d, d)) for d in self._cn_degrees}
+
+        # compile trees -> programs (cached: reused iterations share objects)
+        self._prog_cache: dict[int, tuple[TreeProgram, list]] = {}
+        self._var_progs = {}  # (iter, degree) -> (prog, tables)
+        self._chk_progs = {}
+        for ii in range(codec.max_iters):
+            for d in self._vn_degrees:
+                self._var_progs[(ii, d)] = self._compile(codec.var_tree(ii, d))
+            if not codec.min_lut:
+                for d in self._cn_degrees:
+                    self._chk_progs[(ii, d)] = self._compile(codec.chk_tree(ii, d))
+        self._decode = jax.jit(self._build())
+
+    def _compile(self, tree):
+        key = id(tree)
+        if key not in self._prog_cache:
+            prog = tree_program(tree)
+            tables = [jnp.asarray(op.table) for op in prog.ops]
+            self._prog_cache[key] = (prog, tables)
+        return self._prog_cache[key]
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        codec = self.codec
+        max_iters = codec.max_iters
+        Nq_Msg = [int(x) for x in codec.Nq_Msg]
+
+        def cn_pass(msgs, ii):
+            nz = Nq_Msg[ii] // 2
+            for d in self._cn_degrees:
+                idx = self._cn_edge_idx[d]
+                m = msgs[:, idx]  # (B, m_d, d)
+                if codec.min_lut:
+                    out = cn_minsum(m, nz)
+                else:
+                    prog, tables = self._chk_progs[(ii, d)]
+                    x = m[:, :, self._cn_loo[d]]  # (B, m_d, d, d-1)
+                    out = _eval_program(prog, tables, x)
+                msgs = msgs.at[:, idx].set(out)
+            return msgs
+
+        def vn_pass(msgs, llr_cha, ii):
+            for d in self._vn_degrees:
+                idx = self._vn_edge_idx[d]
+                m = msgs[:, idx]  # (B, n_d, d)
+                llr = llr_cha[:, self._vn_node_idx[d]]  # (B, n_d)
+                inp = jnp.concatenate([m, llr[..., None]], axis=-1)
+                x = inp[:, :, self._vn_loo[d]]  # (B, n_d, d, d)
+                prog, tables = self._var_progs[(ii, d)]
+                out = _eval_program(prog, tables, x)
+                msgs = msgs.at[:, idx].set(out)
+            return msgs
+
+        def hard_bits_unanimous(msgs, nz):
+            """(bits (B, nvar) uint8, unanimous (B,) bool)."""
+            B = msgs.shape[0]
+            bits = jnp.zeros((B, self.nvar), dtype=jnp.uint8)
+            unan = jnp.ones((B,), dtype=bool)
+            for d in self._vn_degrees:
+                neg = msgs[:, self._vn_edge_idx[d]] < nz  # (B, n_d, d)
+                agree = jnp.all(neg == neg[..., :1], axis=-1)  # (B, n_d)
+                unan = unan & jnp.all(agree, axis=-1)
+                bits = bits.at[:, self._vn_node_idx[d]].set(
+                    neg[..., 0].astype(jnp.uint8)
+                )
+            return bits, unan
+
+        def syndrome_ok(bits):
+            ok = jnp.ones((bits.shape[0],), dtype=bool)
+            for d in self._cn_degrees:
+                s = jnp.sum(bits[:, self._cn_var_idx[d]].astype(jnp.int32), axis=-1) & 1
+                ok = ok & jnp.all(s == 0, axis=-1)
+            return ok
+
+        def dec_pass(msgs, llr_cha):
+            B = msgs.shape[0]
+            bits = jnp.zeros((B, self.nvar), dtype=jnp.uint8)
+            for d in self._vn_degrees:
+                m = msgs[:, self._vn_edge_idx[d]]
+                llr = llr_cha[:, self._vn_node_idx[d]]
+                x = jnp.concatenate([m, llr[..., None]], axis=-1)  # (B, n_d, d+1)
+                prog, tables = self._var_progs[(max_iters - 1, d)]
+                out = _eval_program(prog, tables, x)  # (B, n_d), in {0, 1}
+                bits = bits.at[:, self._vn_node_idx[d]].set((out < 1).astype(jnp.uint8))
+            return bits
+
+        def decode(llr_cha, llr_msg):
+            B = llr_msg.shape[0]
+            msgs = llr_msg[:, self._edge_var]
+            done = jnp.zeros((B,), dtype=bool)
+            latched = jnp.zeros((B, self.nvar), dtype=jnp.uint8)
+            iters = jnp.full((B,), max_iters, dtype=jnp.int32)
+
+            for ii in range(max_iters):
+                msgs_new = cn_pass(msgs, ii)
+                if ii != max_iters - 1:
+                    msgs_new = vn_pass(msgs_new, llr_cha, ii)
+                # frozen frames keep their message state (masked early exit)
+                msgs = jnp.where(done[:, None], msgs, msgs_new)
+                if self.early_exit and ii != max_iters - 1:
+                    bits, unan = hard_bits_unanimous(msgs, Nq_Msg[ii + 1] // 2)
+                    conv = unan & syndrome_ok(bits) & ~done
+                    latched = jnp.where(conv[:, None], bits, latched)
+                    iters = jnp.where(conv, ii + 1, iters)
+                    done = done | conv
+
+            bits = dec_pass(msgs, llr_cha)
+            ok_final = syndrome_ok(bits)
+            bits = jnp.where(done[:, None], latched, bits)
+            ok = done | ok_final
+            return bits, ok, iters
+
+        return decode
+
+    # ------------------------------------------------------------------
+    def __call__(self, llr_cha, llr_msg):
+        return self._decode(
+            jnp.asarray(llr_cha, dtype=jnp.int32), jnp.asarray(llr_msg, dtype=jnp.int32)
+        )

@@ -78,8 +78,8 @@ def quant_mi_sym(p_in: np.ndarray, Nq: int, is_sorted: bool = False):
     M_in = len(p_in)
     if M_in % 2 != 0:
         raise ValueError("quant_mi_sym: input pmf length must be even")
-    if K % 2 != 0:
-        raise ValueError("quant_mi_sym: number of output labels must be even")
+    if K < 2 or K % 2 != 0:
+        raise ValueError("quant_mi_sym: number of output labels must be even and >= 2")
 
     from .._native import quant_mi_sym_native
 
