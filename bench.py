@@ -1,0 +1,101 @@
+"""Headline benchmark: LUT decoder throughput on the north-star config.
+
+Config per BASELINE.json: N=10000 rate-0.5 (3,6) code, 4-bit min-LUT decoder,
+50 iterations, batched Monte-Carlo decode on one chip.  Metric: decoded
+information throughput (Mbit/s of systematic bits through the full decode).
+Baseline: the driver-set target of 100 Mbit/s/chip (the reference itself
+publishes no software throughput numbers — BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MBITS = 100.0
+
+
+def build_codec(nvar=10000, max_iters=50):
+    from lut_ldpc_tpu.core.alist import read_alist
+    from lut_ldpc_tpu.core.tanner import TannerGraph
+    from lut_ldpc_tpu.decoder import LUTCodec
+    from lut_ldpc_tpu.ops.pmf import snr2sig
+
+    ref_alist = "/root/reference/codes/rate0.50_dv03_dc06_N10000.alist"
+    if os.path.exists(ref_alist) and nvar == 10000:
+        graph = TannerGraph.from_dense(read_alist(ref_alist))
+    else:
+        rng = np.random.default_rng(1)
+        dv, dc = 3, 6
+        nchk = nvar * dv // dc
+        var_sockets = np.repeat(np.arange(nvar), dv)
+        chk_sockets = np.repeat(np.arange(nchk), dc)
+        for _ in range(50):
+            perm = rng.permutation(len(var_sockets))
+            pairs = set(zip(var_sockets.tolist(), chk_sockets[perm].tolist()))
+            if len(pairs) == len(var_sockets):
+                break
+        H = np.zeros((nchk, nvar), dtype=np.uint8)
+        for v, c in pairs:
+            H[c, v] = 1
+        graph = TannerGraph.from_dense(H)
+    sig = float(snr2sig(0.5, 2.0))
+    return LUTCodec.design(graph, sig * sig, max_iters=max_iters, Nq_Cha=16, Nq_Msg=16)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lut_ldpc_tpu.decoder import LUTDecoder
+    from lut_ldpc_tpu.ops.pmf import snr2sig
+
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    iters_timed = int(os.environ.get("BENCH_REPS", "5"))
+
+    t0 = time.perf_counter()
+    codec = build_codec()
+    t_design = time.perf_counter() - t0
+    print(f"# codec designed in {t_design:.1f}s "
+          f"(N={codec.nvar}, {codec.max_iters} iters)", file=sys.stderr)
+
+    dec = LUTDecoder(codec, early_exit=True)
+    sig = float(snr2sig(0.5, 2.0))
+    rng = np.random.default_rng(0)
+    y = 1.0 + sig * rng.standard_normal((B, codec.nvar))
+    llr = 2.0 * y / sig**2
+    llr_cha, llr_msg = codec.quantize_channel(llr)
+    llr_cha = jnp.asarray(llr_cha, jnp.int32)
+    llr_msg = jnp.asarray(llr_msg, jnp.int32)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    out = dec._decode(llr_cha, llr_msg)
+    jax.block_until_ready(out)
+    print(f"# compile+first run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(iters_timed):
+        out = dec._decode(llr_cha, llr_msg)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters_timed
+
+    info_bits = B * codec.k
+    mbits = info_bits / dt / 1e6
+    print(f"# {B} frames/{dt * 1e3:.1f} ms -> {mbits:.1f} Mbit/s info", file=sys.stderr)
+    print(json.dumps({
+        "metric": "lut_decode_info_throughput",
+        "value": round(mbits, 2),
+        "unit": "Mbit/s",
+        "vs_baseline": round(mbits / BASELINE_MBITS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

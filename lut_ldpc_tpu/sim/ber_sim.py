@@ -1,0 +1,266 @@
+"""Monte-Carlo BER/FER simulation harness (the equivalent of LDPC_BER_Sim).
+
+Where the reference decodes one frame at a time and scales out by launching
+one process per seed (/root/reference/src/LDPC_BER_Sim.cpp:246-311,
+README.md:54), this harness decodes a *batch* of frames per device step and
+scales out data-parallel over a jax device mesh (frames sharded, counters
+psum-reduced in-program) — the TPU-native replacement for the offline
+per-seed result merging of scripts/aggregate_results.m.
+
+Semantics preserved from the reference:
+- per-SNR frame budget Nframes, early stop at Nfers frame errors (at batch
+  granularity), skip-remaining-SNRs below ber_min/fer_min with explicit
+  zero-padded points (cpp:289, 307-310, 142-149);
+- counters: data-bit errors over the K systematic bits, frame errors per
+  K-block, uncoded slicer errors over all N coded bits (cpp:280-291);
+- deterministic seeding: counter-based keys fold_in(seed, snr index, batch
+  index, device index) replace the RNG_reset(seed+offset) convention.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.alist import read_alist
+from ..core.tanner import TannerGraph
+from ..decoder.bp import BPDecoder
+from ..decoder.codec import LUTCodec
+from ..decoder.lut_decoder import LUTDecoder
+from ..ops.pmf import snr2sig
+from .channel import bpsk_awgn_llr
+from .config import BERSimConfig
+from .results import BERSimResults, git_version
+
+__all__ = ["BERSim", "run_from_config"]
+
+
+class BERSim:
+    """Monte-Carlo simulator for one decoder over an SNR grid.
+
+    decoder_kind: 'lut' (needs codec) or 'bp' (needs bp_decoder).
+    """
+
+    def __init__(
+        self,
+        config: BERSimConfig,
+        graph: TannerGraph,
+        codec: LUTCodec | None = None,
+        bp_decoder: BPDecoder | None = None,
+        mesh: jax.sharding.Mesh | None = None,
+    ):
+        self.config = config
+        self.graph = graph
+        self.codec = codec
+        self.bp = bp_decoder
+        self.mesh = mesh
+        if (codec is None) == (bp_decoder is None):
+            raise ValueError("provide exactly one of codec / bp_decoder")
+        self.zero_codeword = config.ldpc.zero_codeword
+        if not self.zero_codeword:
+            if codec is None or codec.gen_T is None:
+                raise ValueError("non-zero codewords require a codec with a generator")
+            self.k = codec.k
+        else:
+            # rank assumed full for zero-codeword runs (no generator needed)
+            self.k = codec.k if codec is not None else graph.nvar - graph.nchk
+        self.rate = self.k / graph.nvar
+        if codec is not None:
+            self.decoder = LUTDecoder(codec, early_exit=config.ldpc.parity_check_iter)
+        else:
+            self.decoder = bp_decoder
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        B = self.config.sim.batch_size
+        nvar = self.graph.nvar
+        k = self.k
+        codec = self.codec
+        zero_cw = self.zero_codeword
+
+        if codec is not None:
+            qb_cha = jnp.asarray(codec.qb_Cha)
+            qb_msg = jnp.asarray(codec.qb_Msg)
+            cha2msg = jnp.asarray(codec.cha2msg_map, dtype=jnp.int32)
+            use_qcha = codec.initial_message_mode == "qcha"
+            gen_T = None if codec.gen_T is None else jnp.asarray(codec.gen_T, jnp.int32)
+        else:
+            gen_T = None
+
+        def step(key, sigma):
+            """One batch: returns int32 counter dict."""
+            kbits, knoise = jax.random.split(key)
+            if zero_cw:
+                u = jnp.zeros((B, k), dtype=jnp.uint8)
+                x = jnp.zeros((B, nvar), dtype=jnp.uint8)
+            else:
+                u = jax.random.bernoulli(kbits, 0.5, (B, k)).astype(jnp.uint8)
+                parity = (
+                    jax.lax.dot_general(
+                        u.astype(jnp.int32), gen_T,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    & 1
+                ).astype(jnp.uint8)
+                x = jnp.concatenate([u, parity], axis=-1)
+            llr, y = bpsk_awgn_llr(knoise, x, sigma)
+            slicer = (y < 0).astype(jnp.uint8)
+
+            if codec is not None:
+                llr_cha = jnp.searchsorted(qb_cha, llr, side="left").astype(jnp.int32)
+                if use_qcha:
+                    llr_msg = cha2msg[llr_cha]
+                else:
+                    llr_msg = jnp.searchsorted(qb_msg, llr, side="left").astype(jnp.int32)
+                bits, ok, iters = self.decoder._decode(llr_cha, llr_msg)
+            else:
+                bits, ok, iters = self.decoder._decode(llr)
+
+            data_err = jnp.sum(bits[:, :k] != u, axis=-1)  # (B,)
+            return dict(
+                frames=jnp.int32(B),
+                data_bits=jnp.int32(B * k),
+                uncoded_bits=jnp.int32(B * nvar),
+                frame_errors=jnp.sum(data_err > 0, dtype=jnp.int32),
+                data_bit_errors=jnp.sum(data_err, dtype=jnp.int32),
+                uncoded_bit_errors=jnp.sum(slicer != x, dtype=jnp.int32),
+                decode_iters=jnp.sum(iters, dtype=jnp.int32),
+            )
+
+        if self.mesh is not None:
+            from ..parallel import make_dp_step
+
+            return make_dp_step(step, self.mesh)
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def run(self, seed: int | None = None, verbose: bool = True) -> BERSimResults:
+        cfg = self.config.sim
+        if seed is None:
+            seed = cfg.rand_seed
+        base_key = jax.random.PRNGKey(seed + cfg.rand_seed_offset)
+        snr_db = np.asarray(cfg.SNRdB, dtype=np.float64)
+        results = BERSimResults(
+            snr_db=snr_db,
+            nvar=self.graph.nvar,
+            nchk=self.graph.nchk,
+            rate=self.rate,
+            gitversion=git_version(),
+        )
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        frames_per_step = cfg.batch_size * n_dev
+
+        t0 = time.perf_counter()
+        skip_rest = False
+        for ss, snr in enumerate(snr_db):
+            if skip_rest:
+                continue  # zero-padded point (LDPC_BER_Sim.cpp:142-149)
+            sigma = float(snr2sig(self.rate, snr))
+            key_snr = jax.random.fold_in(base_key, ss)
+            frames = ferrs = 0
+            bb = 0
+            while frames < cfg.Nframes and ferrs <= cfg.Nfers:
+                c = self._step(jax.random.fold_in(key_snr, bb), sigma)
+                c = {kk: int(v) for kk, v in c.items()}
+                results.add_counts(
+                    ss, c["frames"], c["data_bits"], c["uncoded_bits"],
+                    c["frame_errors"], c["data_bit_errors"], c["uncoded_bit_errors"],
+                )
+                frames += c["frames"]
+                ferrs += c["frame_errors"]
+                bb += 1
+            if verbose:
+                print(
+                    f"SNR = {snr:g}  frames {results.frames[ss]}  "
+                    f"data BER {results.ber()[ss]:.3e}  "
+                    f"uncoded BER {results.uncoded_ber()[ss]:.3e}  "
+                    f"FER {results.fer()[ss]:.3e}",
+                    flush=True,
+                )
+            ber = results.ber()[ss]
+            fer = results.fer()[ss]
+            if ber < cfg.ber_min or fer < cfg.fer_min:
+                skip_rest = True
+        results.runtime = time.perf_counter() - t0
+        return results
+
+
+def run_from_config(
+    config: BERSimConfig,
+    codes_root: str = ".",
+    seed: int | None = None,
+    mesh=None,
+    verbose: bool = True,
+):
+    """Load-design-run per the INI config (the ber_sim CLI body,
+    prog/ber_sim.cpp:133-154 + LDPC_BER_Sim::load cpp:157-244, 434-550).
+
+    Returns (results, sim) — saving is the caller's business.
+    """
+    import os
+
+    codec = None
+    bp = None
+    if config.sim.codec_filename and os.path.exists(config.sim.codec_filename):
+        codec = LUTCodec.load(config.sim.codec_filename)
+        graph = codec.graph
+    else:
+        alist = config.ldpc.parity_filename
+        if not os.path.isabs(alist):
+            alist = os.path.join(codes_root, config.sim.codes_dir, alist)
+        if not alist.endswith(".alist"):
+            alist += ".alist"
+        H = read_alist(alist)
+        graph = TannerGraph.from_dense(H)
+
+    if config.codec_type == "LUT":
+        lut = config.lut
+        if codec is None:
+            if lut.design_thr > 0:
+                sig = lut.design_thr
+            else:
+                ens = graph.empirical_ensemble()
+                sig = float(snr2sig(ens.rate(), lut.design_SNRdB))
+            reuse = None
+            if lut.reuse_lut:
+                reuse = np.array([int(x) for x in lut.reuse_lut.split()], dtype=bool)
+            codec = LUTCodec.design(
+                graph,
+                sig * sig,
+                max_iters=lut.max_iter,
+                Nq_Cha=2**lut.qbits_channel,
+                Nq_Msg=2**lut.qbits_message_uniform,
+                tree_method=(
+                    f"filename={lut.trees_filename}"
+                    if lut.tree_mode == "filename"
+                    else lut.tree_mode
+                ),
+                min_lut=lut.min_lut,
+                reuse_vec=reuse,
+                irregular_design_strategy=lut.irregular_design_strategy,
+                build_generator=not config.ldpc.zero_codeword,
+            )
+            graph = codec.graph  # possibly column-permuted by the generator
+            codec.initial_message_mode = lut.initial_message_mode
+            if config.sim.codec_filename and config.sim.save_codec in (-1, seed):
+                codec.save(config.sim.codec_filename)
+    else:
+        bpc = config.bp
+        bp = BPDecoder(
+            graph,
+            max_iters=bpc.max_iter,
+            algorithm=bpc.algorithm,
+            scale=bpc.scale,
+            offset=bpc.offset,
+            early_exit=config.ldpc.parity_check_iter,
+        )
+
+    sim = BERSim(config, graph, codec=codec, bp_decoder=bp, mesh=mesh)
+    results = sim.run(seed=seed, verbose=verbose)
+    return results, sim
