@@ -53,10 +53,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lut_ldpc_tpu.decoder import LUTDecoder
+    from lut_ldpc_tpu.decoder import make_decoder
     from lut_ldpc_tpu.ops.pmf import snr2sig
 
-    B = int(os.environ.get("BENCH_BATCH", "128"))
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
     iters_timed = int(os.environ.get("BENCH_REPS", "5"))
 
     t0 = time.perf_counter()
@@ -65,7 +65,7 @@ def main():
     print(f"# codec designed in {t_design:.1f}s "
           f"(N={codec.nvar}, {codec.max_iters} iters)", file=sys.stderr)
 
-    dec = LUTDecoder(codec, early_exit=True)
+    dec = make_decoder(codec, early_exit=True)
     sig = float(snr2sig(0.5, 2.0))
     rng = np.random.default_rng(0)
     y = 1.0 + sig * rng.standard_normal((B, codec.nvar))

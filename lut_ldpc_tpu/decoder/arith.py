@@ -1,0 +1,356 @@
+"""Arithmetic (value-domain) representation of a designed LUT decoder.
+
+The MI-optimal quantizer (quant_mi_sym, /root/reference/src/common.cpp:230)
+assigns output labels by *contiguous intervals in sorted joint-LLR order*,
+and the joint LLR of independent inputs is the SUM of per-input LLRs.  Every
+designed VN-tree node is therefore exactly representable as
+
+    out_label = #{ k : v_a[a] + v_b[b] >= thr_k }
+
+with per-input value tables v (the design-time LLRs of the child pmfs) and
+K-1 thresholds — i.e. add + threshold-count, no table lookup.  Carrying
+*values* instead of labels through the whole decoder turns message passing
+into pure vector arithmetic (the TPU's VPU sweet spot) and eliminates the
+per-element gathers that dominate a table-based decoder on TPU:
+
+- a message's value encodes its label via a strictly monotone symmetric map,
+  so the integer min-LUT CN update (sign parity + two-min on magnitude
+  labels, LDPC_Code_LUT.cpp:355-402) becomes sign/abs/min arithmetic on
+  values with bit-identical label semantics;
+- each tree node emits the value its *consumer* expects (the parent's child
+  LLR table, or for roots the next iteration's leaf LLR table), so no
+  label->value conversion is ever needed mid-stream.
+
+EXACTNESS IS VERIFIED, NOT ASSUMED: every node's arithmetic form is
+validated exhaustively against its integer LUT over all input combinations
+(in float32, with the runtime's accumulation order), and the value<->label
+monotonicity/symmetry conditions required by the CN update are checked per
+iteration.  Any violation raises, and callers fall back to the table-based
+decoder — the arithmetic path is a provably-equivalent acceleration, never
+an approximation.
+
+Built from the codec's design-time pmf snapshots (pmf_cha_design,
+pmf_chk2var_trace) by replaying each iteration's tree update.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codec import LUTCodec
+from .layout import _var_full_table
+
+__all__ = ["ArithSpec", "ArithTreeSpec", "ArithOpSpec", "build_arith_spec", "nudged_llr"]
+
+
+def nudged_llr(p: np.ndarray, tiny: float = 1e-6) -> np.ndarray:
+    """Finite, antisymmetric, sign-correct value table for a symmetric pmf.
+
+    v[x] = llr(x) with zero-mass and zero-LLR labels nudged to tiny values
+    whose sign matches the label's half (label < K/2 <=> v < 0), and
+    infinities clipped to distinct large finite values.  float64.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    K = len(p)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l = np.log(p) - np.log(p[::-1])
+    center = (K - 1) / 2.0
+    offsets = np.arange(K) - center  # antisymmetric, sign matches half
+    # both-zero pairs: 0/0 -> NaN
+    nan_mask = np.isnan(l)
+    l[nan_mask] = tiny * offsets[nan_mask]
+    finite = np.isfinite(l)
+    big = (np.abs(l[finite]).max() if finite.any() else 0.0) + 10.0
+    l[np.isposinf(l)] = big + tiny * np.arange(K)[np.isposinf(l)]
+    l[np.isneginf(l)] = -(big + tiny * np.arange(K)[::-1][np.isneginf(l)])
+    v = 0.5 * (l - l[::-1])  # exact antisymmetry
+    zero = v == 0.0
+    v[zero] = tiny * offsets[zero]
+    return v
+
+
+TIE_EPS = np.float32(1e-12)
+
+
+@dataclass(frozen=True)
+class ArithOpSpec:
+    """One tree node: sum operand values, emit piecewise-constant output.
+
+    operands: slots into the evaluation value list (leaves in DFS order
+    first, then op outputs).  Output = levels[#thresholds crossed], emitted
+    via a sequential select chain so values are exact (no accumulation
+    error); thresholds has length K-1 (+inf for unreachable upper levels).
+
+    Zero-sum tie-break: input combinations whose values cancel exactly
+    (mirror pairs through antisymmetric tables) are split by the design's
+    stable sort on the joint label index — equivalently by the sign of the
+    most-significant child's value — so a sum of exactly 0.0 is replaced by
+    TIE_EPS * (last operand's value).  Exactness is validated exhaustively.
+    """
+
+    operands: tuple
+    thresholds: np.ndarray  # (K-1,) float32
+    levels: np.ndarray  # (K,) float32 emitted values per output label
+
+
+@dataclass(frozen=True)
+class ArithTreeSpec:
+    num_inputs: int  # leaves in DFS order; channel leaf is one of them
+    ops: tuple  # topological; last op is the root
+
+    def structure_key(self):
+        return (self.num_inputs, tuple(op.operands for op in self.ops))
+
+    def eval_np(self, x: np.ndarray) -> np.ndarray:
+        """x (..., num_inputs) float32 -> (...,) float32 root output value."""
+        vals = [x[..., i].astype(np.float32) for i in range(self.num_inputs)]
+        for op in self.ops:
+            s = vals[op.operands[0]]
+            for sl in op.operands[1:]:
+                s = s + vals[sl]
+            s = np.where(s == 0.0, TIE_EPS * vals[op.operands[-1]], s)
+            out = np.full(s.shape, op.levels[0], dtype=np.float32)
+            for k in range(len(op.thresholds)):
+                out = np.where(s >= op.thresholds[k], op.levels[k + 1], out)
+            vals.append(out)
+        return vals[-1]
+
+
+@dataclass
+class ArithSpec:
+    """Everything the arithmetic decoder needs.
+
+    var_trees[it][degree_index]: ArithTreeSpec for VN iterations 0..T-2
+    (roots emit next-iteration leaf values); dec_trees[degree_index] for
+    the decision pass (roots emit the hard bit via a single threshold
+    packaged as a 2-level op).  leaf_msg0 / leaf_cha are label->value
+    tables for the initial messages and the channel leaves.
+    """
+
+    var_trees: list
+    dec_trees: list
+    leaf_msg0: np.ndarray  # (Nq,) float32
+    leaf_cha: np.ndarray  # (Nq_Cha,) float32
+    degrees: list  # VN degrees, index-aligned with the tree lists
+
+
+class ArithBuildError(ValueError):
+    pass
+
+
+def _tree_values(node, leaf_msg, leaf_cha):
+    """Post-order walk computing each node's input value tables; returns
+    (child_value_tables, node) pairs in topological order plus leaf count."""
+    from ..core.trees import CHA, MSG
+
+    ops = []
+    leaf_count = 0
+    num_leaves = node.num_leaves()
+
+    def rec(n):
+        nonlocal leaf_count
+        if n.type in (MSG, CHA):
+            slot = leaf_count
+            leaf_count += 1
+            table = leaf_cha if n.type == CHA else leaf_msg
+            if len(table) != n.K:
+                raise ArithBuildError(
+                    f"leaf resolution {n.K} != value table {len(table)}"
+                )
+            return slot, table
+        pairs = [rec(c) for c in n.children]
+        slots = tuple(p[0] for p in pairs)
+        tables = [p[1] for p in pairs]
+        ops.append((n, slots, tables))
+        out_table = nudged_llr(n.p)
+        return num_leaves + len(ops) - 1, out_table
+
+    _, root_table = rec(node)
+    return ops, leaf_count, root_table
+
+
+def _op_spec(node, slots, child_tables, out_values) -> ArithOpSpec:
+    """Derive thresholds for one node and validate exhaustively against its
+    integer LUT (float32, runtime accumulation order)."""
+    ks = [len(t) for t in child_tables]
+    L = int(np.prod(ks))
+    K = node.K
+    if node.Q is None or len(node.Q) != L // 2:
+        raise ArithBuildError("node LUT missing or wrong length")
+    table = _var_full_table(np.asarray(node.Q), L, K).astype(np.int64)
+
+    # joint sums indexed by label = l_0 + K0*l_1 + ... (child 0 least
+    # significant, same convention as the LUT tables); float32 to match the
+    # runtime's arithmetic exactly
+    s = np.zeros(1, dtype=np.float32)
+    for t in child_tables:
+        s = (t.astype(np.float32)[:, None] + s[None, :]).reshape(-1)
+    # zero-sum tie-break by the most-significant child's value (the design's
+    # stable index sort splits exact-zero-LLR joint labels by index half)
+    last = child_tables[-1].astype(np.float32)
+    tie = np.repeat(last, L // ks[-1])
+    s = np.where(s == 0.0, TIE_EPS * tie, s)
+
+    order = np.argsort(s, kind="stable")
+    out_sorted = table[order]
+    s_sorted = s[order]
+    # monotone along sorted sums; equal sums must share a level
+    if np.any(np.diff(out_sorted) < 0):
+        bad = np.diff(out_sorted) < 0
+        if np.any(s_sorted[1:][bad] > s_sorted[:-1][bad]):
+            raise ArithBuildError("LUT not monotone in value sums")
+        # ties with differing outputs
+        raise ArithBuildError("tied sums map to different output labels")
+
+    thr = np.full(K - 1, np.inf, dtype=np.float32)
+    for k in range(1, K):
+        ge = s[table >= k]
+        if len(ge):
+            thr[k - 1] = ge.min()
+
+    out_values = np.asarray(out_values, dtype=np.float32)
+    if len(out_values) != K:
+        raise ArithBuildError("output value table length mismatch")
+
+    spec = ArithOpSpec(slots, thr, out_values)
+    # exhaustive validation: piecewise level == table level for all combos
+    lvl = np.zeros(L, dtype=np.int64)
+    for k in range(K - 1):
+        lvl += (s >= thr[k]).astype(np.int64)
+    if not np.array_equal(lvl, table):
+        raise ArithBuildError("arithmetic form does not reproduce the LUT")
+    return spec
+
+
+def _dfs_leaf_types(node, out):
+    from ..core.trees import CHA, MSG
+
+    if node.type in (MSG, CHA):
+        out.append(node.type)
+    for c in node.children:
+        _dfs_leaf_types(c, out)
+    return out
+
+
+def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values) -> ArithTreeSpec:
+    from ..core.trees import CHA, MSG
+
+    # the runtime feeds the channel value into the LAST queue slot
+    # (var_msg_update appends llr to the deque), so the arithmetic form is
+    # only consistent when the CHA-typed leaf is DFS-last
+    types = _dfs_leaf_types(tree.root, [])
+    if types[-1] != CHA or any(t != MSG for t in types[:-1]):
+        raise ArithBuildError("channel leaf must be the last DFS leaf")
+    ops_raw, num_inputs, _ = _tree_values(tree.root, leaf_msg, leaf_cha)
+    specs = []
+    for i, (node, slots, tables) in enumerate(ops_raw):
+        is_root = i == len(ops_raw) - 1
+        out_vals = root_out_values if is_root else nudged_llr(node.p)[: node.K]
+        specs.append(_op_spec(node, slots, tables, out_vals))
+    return ArithTreeSpec(num_inputs=num_inputs, ops=tuple(specs))
+
+
+def repair_monotone(v: np.ndarray) -> np.ndarray:
+    """Minimally bump ties/inversions in the upper half so |v| is strictly
+    increasing in magnitude label, then re-antisymmetrize.
+
+    Needed for late DE iterations where the converged pmf's tiny masses
+    underflow and the nudged LLRs of dead labels collapse; the exhaustive
+    node validation still decides whether the repaired tables reproduce the
+    LUTs exactly."""
+    v = np.asarray(v, dtype=np.float64).copy()
+    K = len(v)
+    nz = K // 2
+    up = v[nz:].copy()
+    prev = max(up[0], 1e-9)
+    up[0] = prev
+    for i in range(1, len(up)):
+        lo = prev * (1 + 1e-6) + 1e-9
+        if up[i] <= lo:
+            up[i] = lo
+        prev = up[i]
+    v[nz:] = up
+    v[:nz] = -up[::-1]
+    return v
+
+
+def _check_minsum_table(v: np.ndarray):
+    """Value table must be antisymmetric with |v| strictly increasing in
+    magnitude label and sign matching the label half, so min-sum on values
+    is bit-identical to min-sum on labels."""
+    K = len(v)
+    nz = K // 2
+    if not np.all(v[nz:] > 0) or not np.all(v[:nz] < 0):
+        raise ArithBuildError("value table sign does not match label half")
+    if not np.all(np.diff(v[nz:]) > 0):
+        raise ArithBuildError("|value| not strictly monotone in magnitude")
+    if not np.allclose(v, -v[::-1], rtol=0, atol=0):
+        raise ArithBuildError("value table not antisymmetric")
+
+
+def build_arith_spec(codec: LUTCodec) -> ArithSpec:
+    """Replay the design per iteration and compile the arithmetic decoder
+    spec.  Raises ArithBuildError when the codec cannot be represented
+    exactly (caller falls back to the table decoder)."""
+    if not codec.min_lut:
+        raise ArithBuildError("arith decoder covers min-LUT codecs only")
+    if codec.pmf_cha_design is None or not codec.pmf_chk2var_trace:
+        raise ArithBuildError("codec lacks design pmf snapshots")
+    T = codec.max_iters
+    if len(codec.pmf_chk2var_trace) != T:
+        raise ArithBuildError("pmf trace length mismatch")
+    if len(set(int(x) for x in codec.Nq_Msg)) != 1:
+        raise ArithBuildError("arith decoder needs uniform Nq_Msg")
+
+    leaf_cha = nudged_llr(codec.pmf_cha_design).astype(np.float32)
+    # leaf value tables per iteration (messages entering iteration ii);
+    # repaired to strict magnitude monotonicity (exactness still verified
+    # per node against the integer LUTs)
+    leaf_msg = [
+        repair_monotone(nudged_llr(codec.pmf_chk2var_trace[ii])).astype(np.float32)
+        for ii in range(T)
+    ]
+    for v in leaf_msg:
+        _check_minsum_table(v)
+
+    degrees = [int(d) for d in codec.var_tree_degrees]
+    var_specs = []
+    for ii in range(T - 1):
+        row = []
+        for d in degrees:
+            tree = codec.var_tree(ii, d).copy()
+            tree.set_leaves(codec.pmf_chk2var_trace[ii], codec.pmf_cha_design)
+            tree.update(reuse=True)  # recompute node pmfs under the fixed LUTs
+            row.append(
+                _build_tree_spec(tree, leaf_msg[ii], leaf_cha, leaf_msg[ii + 1])
+            )
+        var_specs.append(row)
+        # all iterations must share op structure for the scan path
+        if var_specs[0] is not row:
+            for a, b in zip(var_specs[0], row):
+                if a.structure_key() != b.structure_key():
+                    raise ArithBuildError("tree structure varies across iterations")
+
+    dec_specs = []
+    # decision output convention: value < 0 <=> label < nz <=> bit 1,
+    # so label 0 (bit 1) emits -1 and label 1 (bit 0) emits +1
+    bit_out = np.array([-1.0, 1.0], dtype=np.float32)
+    for di, d in enumerate(degrees):
+        tree = codec.var_tree(T - 1, d).copy()  # DECTREE, d+1 leaves
+        tree.set_leaves(codec.pmf_chk2var_trace[T - 1], codec.pmf_cha_design)
+        tree.update(reuse=True)
+        dec_specs.append(
+            _build_tree_spec(tree, leaf_msg[T - 1], leaf_cha, bit_out)
+        )
+
+    # initial messages: labels quantized under qb_Msg -> values of iteration 0
+    leaf_msg0 = leaf_msg[0]
+    return ArithSpec(
+        var_trees=var_specs,
+        dec_trees=dec_specs,
+        leaf_msg0=leaf_msg0,
+        leaf_cha=leaf_cha,
+        degrees=degrees,
+    )

@@ -1,0 +1,300 @@
+"""Value-domain LUT decoder: pure vector arithmetic, zero mid-loop gathers.
+
+The third and fastest decoder implementation (after lut_decoder's unrolled
+reference form and fast_decoder's table form), built on the validated
+arithmetic representation of decoder/arith.py:
+
+- messages are float32 *values* in an (E, B) layout — edge-major with the
+  frame batch in the lane dimension, so the two per-iteration permutation
+  gathers move full 128-lane rows and their address cost amortizes over B
+  (measured: the gather cost is address-bound, near-constant in B);
+- the min-LUT CN update runs directly on values (sign parity + two-min on
+  magnitudes), bit-identical to the label form by the validated
+  monotone/symmetric value<->label correspondence;
+- a VN tree node is add + threshold-count + piecewise-constant emission —
+  pure VPU work, no tables;
+- `lax.scan` over iterations with per-iteration thresholds as xs; the
+  unanimity/syndrome early-exit latch reads signs of tensors the iteration
+  already produces.
+
+Bit-exact to LUTDecoder/FastLUTDecoder (asserted in tests); built via
+make_decoder, which falls back when build_arith_spec cannot prove
+exactness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .arith import ArithSpec, build_arith_spec
+from .codec import LUTCodec
+from .fast_layout import GroupedLayout
+
+__all__ = ["ArithLUTDecoder"]
+
+
+class ArithLUTDecoder:
+    def __init__(self, codec: LUTCodec, early_exit: bool = True,
+                 spec: ArithSpec | None = None):
+        self.codec = codec
+        self.early_exit = early_exit
+        self.spec = spec if spec is not None else build_arith_spec(codec)
+        self.T = codec.max_iters
+        self.nvar = codec.graph.nvar
+        self.layout = GroupedLayout(codec.graph)
+        if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
+            raise ValueError("arith spec degrees do not match graph blocks")
+        self._build_constants()
+        self._decode = jax.jit(self._build())
+
+    # ------------------------------------------------------------------
+    def _build_constants(self):
+        lay = self.layout
+        self._perm_v2c = jnp.asarray(lay.perm_v2c)
+        self._perm_c2v = jnp.asarray(lay.perm_c2v)
+        self._vn_nodes = jnp.asarray(lay.vn_nodes)
+        self._vn_node_pos = jnp.asarray(lay.vn_node_pos)
+        self._cn_var_pos = jnp.asarray(lay.cn_var_pos)
+        self._leaf_msg0 = jnp.asarray(self.spec.leaf_msg0)
+        self._leaf_cha = jnp.asarray(self.spec.leaf_cha)
+
+        # stacked per-iteration op parameters: per block, per op:
+        # thr (T-1, K-1), base (T-1,), deltas (T-1, K-1)
+        self._var_xs = []
+        self._var_struct = []  # per block: ArithTreeSpec (structure only)
+        T = self.T
+        for bi in range(len(lay.vn_blocks)):
+            tree0 = self.spec.var_trees[0][bi] if T > 1 else None
+            self._var_struct.append(tree0)
+            ops_xs = []
+            if T > 1:
+                for oi in range(len(tree0.ops)):
+                    thr = np.stack(
+                        [self.spec.var_trees[ii][bi].ops[oi].thresholds for ii in range(T - 1)]
+                    )
+                    levels = np.stack(
+                        [self.spec.var_trees[ii][bi].ops[oi].levels for ii in range(T - 1)]
+                    )
+                    ops_xs.append(
+                        dict(thr=jnp.asarray(thr), levels=jnp.asarray(levels))
+                    )
+            self._var_xs.append(ops_xs)
+        self._dec_specs = self.spec.dec_trees
+
+    # ------------------------------------------------------------------
+    def _vn_blocks_of(self, m):
+        out = []
+        for blk in self.layout.vn_blocks:
+            d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+            out.append(m[e0 : e0 + n * d].reshape(n, d, -1))
+        return out
+
+    def _cn_blocks_of(self, m):
+        out = []
+        for blk in self.layout.cn_blocks:
+            d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+            out.append(m[e0 : e0 + n * d].reshape(n, d, -1))
+        return out
+
+    @staticmethod
+    def _cn_minsum_values(m):
+        """Min-LUT CN update on values; m (n, d, B) float32.
+
+        Matches chk_update_minsum label semantics (LDPC_Code_LUT.cpp:355)
+        given the validated value<->label correspondence."""
+        d = m.shape[1]
+        neg = m < 0
+        mag = jnp.abs(m)
+        min1 = jnp.min(mag, axis=1, keepdims=True)
+        idx = jnp.argmin(mag, axis=1)
+        is_min = jnp.arange(d, dtype=jnp.int32)[None, :, None] == idx[:, None, :]
+        min2 = jnp.min(jnp.where(is_min, jnp.inf, mag), axis=1, keepdims=True)
+        sign_prod = (jnp.sum(neg, axis=1, keepdims=True) & 1).astype(bool)
+        tmp = jnp.where(is_min, min2, min1)
+        return jnp.where(sign_prod ^ neg, -tmp, tmp)
+
+    def _eval_tree(self, struct, x_vals, op_params):
+        """x_vals: list of leaf value arrays (DFS order), each (..., B).
+        op_params: per-op dict with 'thr' (K-1,), 'levels' (K,) for ONE
+        iteration (already sliced).  Returns root output values."""
+        from .arith import TIE_EPS
+
+        vals = list(x_vals)
+        for op, prm in zip(struct.ops, op_params):
+            s = vals[op.operands[0]]
+            for sl in op.operands[1:]:
+                s = s + vals[sl]
+            s = jnp.where(s == 0.0, TIE_EPS * vals[op.operands[-1]], s)
+            out = jnp.broadcast_to(prm["levels"][..., 0], s.shape).astype(jnp.float32)
+            nthr = prm["thr"].shape[-1]
+            for k in range(nthr):
+                out = jnp.where(s >= prm["thr"][..., k], prm["levels"][..., k + 1], out)
+            vals.append(out)
+        return vals[-1]
+
+    def _select_values(self, labels, table):
+        """labels (..., ) int32 -> values via dense 16-way select."""
+        v = jnp.zeros(labels.shape, jnp.float32)
+        for k in range(table.shape[0]):
+            v = v + jnp.where(labels == k, table[k], 0.0)
+        return v
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        lay = self.layout
+        T = self.T
+        early_exit = self.early_exit
+
+        def convergence(m_vn, m_cn):
+            bits, unan = [], None
+            for m in self._vn_blocks_of(m_vn):
+                neg = m < 0
+                agree = jnp.all(neg == neg[:, :1], axis=(0, 1))  # (B,)
+                unan = agree if unan is None else (unan & agree)
+                bits.append(neg[:, 0, :].astype(jnp.uint8))  # (n, B)
+            bits = jnp.concatenate(bits, axis=0)  # (nvar, B)
+            synd = None
+            for m in self._cn_blocks_of(m_cn):
+                s = jnp.sum((m < 0).astype(jnp.int32), axis=1) & 1  # (n, B)
+                ok = jnp.all(s == 0, axis=0)
+                synd = ok if synd is None else (synd & ok)
+            return bits, unan & synd
+
+        def decode(llr_cha, llr_msg):
+            # inputs (B, nvar) int32 labels -> grouped (nvar, B) values
+            B = llr_cha.shape[0]
+            cha_lab = llr_cha[:, self._vn_nodes].T  # (nvar, B) grouped
+            msg_lab = llr_msg[:, self._vn_nodes].T
+            vcha = self._select_values(cha_lab, self._leaf_cha)
+            v0 = self._select_values(msg_lab, self._leaf_msg0)
+
+            cha_blocks = [
+                vcha[blk.node_start : blk.node_start + blk.num_nodes]
+                for blk in lay.vn_blocks
+            ]
+            parts = []
+            for blk in lay.vn_blocks:
+                seg = v0[blk.node_start : blk.node_start + blk.num_nodes]  # (n, B)
+                parts.append(
+                    jnp.broadcast_to(seg[:, None, :], (blk.num_nodes, blk.degree, B))
+                    .reshape(-1, B)
+                )
+            m_vn = jnp.concatenate(parts, axis=0)  # (E, B)
+
+            done = jnp.zeros((B,), dtype=bool)
+            latched = jnp.zeros((self.nvar, B), dtype=jnp.uint8)
+            iters = jnp.full((B,), T, dtype=jnp.int32)
+
+            xs = dict(it=jnp.arange(T - 1, dtype=jnp.int32))
+            xs["var"] = self._var_xs
+
+            def body(carry, x):
+                m_vn, done, latched, iters = carry
+                it = x["it"]
+                m_cn = jnp.take(m_vn, self._perm_v2c, axis=0)
+                if early_exit:
+                    bits, conv = convergence(m_vn, m_cn)
+                    conv = conv & (it >= 1) & ~done
+                    latched = jnp.where(conv[None, :], bits, latched)
+                    iters = jnp.where(conv, it, iters)
+                    done = done | conv
+                outs = []
+                for m in self._cn_blocks_of(m_cn):
+                    outs.append(self._cn_minsum_values(m).reshape(-1, B))
+                m_cn = jnp.concatenate(outs, axis=0)
+                m_new = jnp.take(m_cn, self._perm_c2v, axis=0)
+                outs = []
+                for bi, blk in enumerate(lay.vn_blocks):
+                    d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+                    m = m_new[e0 : e0 + n * d].reshape(n, d, B)
+                    # leave-one-out leaf sets: output i consumes the queue
+                    # [msgs minus msg_i, cha] in DFS order; the channel value
+                    # always lands in the last leaf slot (loo row i over d+1
+                    # inputs ends with index d, the appended channel — same
+                    # as LUT_Tree::var_msg_update's deque semantics)
+                    struct = self._var_struct[bi]
+                    loo = _loo(d)  # (d_out, d); column d-1 is always cha
+                    # static slices + stack (NOT fancy indexing, which XLA
+                    # lowers to a slow per-element gather on TPU)
+                    x_vals = [
+                        jnp.stack(
+                            [m[:, int(loo[i, j]), :] for i in range(d)], axis=1
+                        )  # (n, d_out, B)
+                        for j in range(d - 1)
+                    ]
+                    x_vals.append(
+                        jnp.broadcast_to(cha_blocks[bi][:, None, :], (n, d, B))
+                    )
+                    prm = x["var"][bi]
+                    out = self._eval_tree(struct, x_vals, prm)  # (n, d, B)
+                    outs.append(out.reshape(-1, B))
+                m_next = jnp.concatenate(outs, axis=0)
+                m_vn = jnp.where(done[None, :], m_vn, m_next)
+                return (m_vn, done, latched, iters), None
+
+            (m_vn, done, latched, iters), _ = jax.lax.scan(
+                body, (m_vn, done, latched, iters), xs
+            )
+
+            m_cn = jnp.take(m_vn, self._perm_v2c, axis=0)
+            if early_exit and T >= 2:
+                bits, conv = convergence(m_vn, m_cn)
+                conv = conv & ~done
+                latched = jnp.where(conv[None, :], bits, latched)
+                iters = jnp.where(conv, T - 1, iters)
+                done = done | conv
+            outs = []
+            for m in self._cn_blocks_of(m_cn):
+                outs.append(self._cn_minsum_values(m).reshape(-1, B))
+            m_cn = jnp.concatenate(outs, axis=0)
+            m_fin = jnp.take(m_cn, self._perm_c2v, axis=0)
+
+            dec_bits = []
+            for bi, blk in enumerate(lay.vn_blocks):
+                d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+                m = m_fin[e0 : e0 + n * d].reshape(n, d, B)
+                spec = self._dec_specs[bi]
+                x_vals = [m[:, j, :] for j in range(d)] + [cha_blocks[bi]]
+                prm = [
+                    dict(thr=jnp.asarray(op.thresholds),
+                         levels=jnp.asarray(op.levels))
+                    for op in spec.ops
+                ]
+                out = self._eval_tree(spec, x_vals, prm)  # (n, B)
+                dec_bits.append((out < 0).astype(jnp.uint8))
+            dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar, B)
+
+            bits_grp = jnp.where(done[None, :], latched, dec_bits)
+            edge_bits = jnp.take(bits_grp, self._cn_var_pos, axis=0)
+            s_ok = None
+            pos = 0
+            for blk in lay.cn_blocks:
+                d, n = blk.degree, blk.num_nodes
+                s = jnp.sum(
+                    edge_bits[pos : pos + n * d].reshape(n, d, B).astype(jnp.int32),
+                    axis=1,
+                ) & 1
+                ok = jnp.all(s == 0, axis=0)
+                s_ok = ok if s_ok is None else (s_ok & ok)
+                pos += n * d
+            ok = done | s_ok
+            bits = jnp.take(bits_grp, self._vn_node_pos, axis=0).T  # (B, nvar)
+            return bits, ok, iters
+
+        return decode
+
+    # ------------------------------------------------------------------
+    def __call__(self, llr_cha, llr_msg):
+        return self._decode(
+            jnp.asarray(llr_cha, dtype=jnp.int32), jnp.asarray(llr_msg, dtype=jnp.int32)
+        )
+
+
+def _loo(d: int) -> np.ndarray:
+    """(d, d) leave-one-out over d+1 inputs: row i = [0..d] minus {i}."""
+    from .layout import leave_one_out_idx
+
+    return leave_one_out_idx(d + 1, d)

@@ -49,6 +49,11 @@ class LUTCodec:
     # systematic generator (column-permuted; None = not built)
     gen_perm: np.ndarray | None = None
     gen_T: np.ndarray | None = None
+    # design-time pmf snapshots (enable the arithmetic decoder form):
+    # pmf_cha_design: (Nq_Cha,) channel pmf at the design noise level;
+    # pmf_chk2var_trace: list of per-iteration chk->var pmfs (len max_iters)
+    pmf_cha_design: np.ndarray | None = None
+    pmf_chk2var_trace: list | None = None
     # derived
     var_tree_idx_iter: np.ndarray = field(init=False)
     var_tree_degrees: np.ndarray = field(init=False)
@@ -173,6 +178,8 @@ class LUTCodec:
         sig = float(np.sqrt(sigma2))
         qb_Cha, qb_Msg = de.get_quant_bound(sig)
         var_trees, chk_trees = de.get_lut_trees(sig)
+        pmf_cha_design = de.pmf_cha.copy()
+        pmf_chk2var_trace = [p.copy() for p in de.pmf_chk2var_trace]
 
         # channel-label -> initial-message-label map (LDPC_Code_LUT.cpp:735-741)
         LLR_max = 25.0
@@ -195,6 +202,8 @@ class LUTCodec:
             nchk_lin_indep=nchk_lin_indep,
             gen_perm=gen_perm,
             gen_T=gen_T,
+            pmf_cha_design=pmf_cha_design,
+            pmf_chk2var_trace=pmf_chk2var_trace,
         )
 
     # ------------------------------------------------------------------
@@ -321,6 +330,14 @@ class LUTCodec:
         if self.gen_perm is not None:
             arrays["gen_perm"] = self.gen_perm.astype(np.int64)
             arrays["gen_T"] = self.gen_T.astype(np.uint8)
+        if self.pmf_cha_design is not None:
+            arrays["pmf_cha_design"] = self.pmf_cha_design
+        if self.pmf_chk2var_trace is not None:
+            # ragged when Nq_Msg varies; store flat + lengths
+            arrays["pmf_trace_flat"] = np.concatenate(self.pmf_chk2var_trace)
+            arrays["pmf_trace_len"] = np.array(
+                [len(p) for p in self.pmf_chk2var_trace], dtype=np.int64
+            )
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -338,6 +355,11 @@ class LUTCodec:
         graph = TannerGraph.from_cols(cols, nvar, nchk)
         var_trees = deserialize_tree_array(io.StringIO(str(z["var_tree_string"])))
         chk_trees = deserialize_tree_array(io.StringIO(str(z["chk_tree_string"])))
+        pmf_trace = None
+        if "pmf_trace_flat" in z.files:
+            flat, lens = z["pmf_trace_flat"], z["pmf_trace_len"]
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            pmf_trace = [flat[offs[i] : offs[i + 1]] for i in range(len(lens))]
         return cls(
             graph=graph,
             max_iters=int(z["max_iters"]),
@@ -354,6 +376,8 @@ class LUTCodec:
             initial_message_mode=str(z["initial_message_mode"]),
             gen_perm=z["gen_perm"] if "gen_perm" in z.files else None,
             gen_T=z["gen_T"] if "gen_T" in z.files else None,
+            pmf_cha_design=z["pmf_cha_design"] if "pmf_cha_design" in z.files else None,
+            pmf_chk2var_trace=pmf_trace,
         )
 
     def integrity_check(self) -> bool:

@@ -140,6 +140,9 @@ class DELut:
 
         P_rows, p_elems = [], []
         var_trees_out, chk_trees_out = [], []
+        # per-iteration pmf_chk2var snapshots (consumed by the arithmetic
+        # decoder representation; see decoder/arith.py)
+        self.pmf_chk2var_trace = []
 
         Pe_old = 1.0
         ni_iters = 0
@@ -158,6 +161,8 @@ class DELut:
 
             # ---- CN update
             P_row_c, Pe_c = self._chk_update_irr(ii, nq, prev_chk)
+            if save_luts:
+                self.pmf_chk2var_trace.append(self.pmf_chk2var.copy())
             if chk_trace:
                 P_rows.append(P_row_c)
                 p_elems.append(Pe_c)

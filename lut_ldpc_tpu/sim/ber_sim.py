@@ -30,7 +30,7 @@ from ..core.alist import read_alist
 from ..core.tanner import TannerGraph
 from ..decoder.bp import BPDecoder
 from ..decoder.codec import LUTCodec
-from ..decoder.lut_decoder import LUTDecoder
+from ..decoder.fast_decoder import make_decoder
 from ..ops.pmf import snr2sig
 from .channel import bpsk_awgn_llr
 from .config import BERSimConfig
@@ -70,7 +70,7 @@ class BERSim:
             self.k = codec.k if codec is not None else graph.nvar - graph.nchk
         self.rate = self.k / graph.nvar
         if codec is not None:
-            self.decoder = LUTDecoder(codec, early_exit=config.ldpc.parity_check_iter)
+            self.decoder = make_decoder(codec, early_exit=config.ldpc.parity_check_iter)
         else:
             self.decoder = bp_decoder
         self._step = self._build_step()
