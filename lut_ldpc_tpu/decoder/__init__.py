@@ -3,6 +3,7 @@ from .arith_decoder import ArithLUTDecoder
 from .bp import BPDecoder
 from .codec import CONT, QCHA, LUTCodec
 from .fast_decoder import FastLUTDecoder, make_decoder
+from .staged import StagedLUTDecoder, make_staged_decoder
 from .layout import TreeProgram, leave_one_out_idx, tree_program
 from .lut_decoder import LUTDecoder, cn_minsum
 
@@ -12,7 +13,9 @@ __all__ = [
     "build_arith_spec",
     "CONT",
     "FastLUTDecoder",
+    "StagedLUTDecoder",
     "make_decoder",
+    "make_staged_decoder",
     "QCHA",
     "LUTCodec",
     "LUTDecoder",

@@ -122,18 +122,26 @@ class ArithTreeSpec:
 class ArithSpec:
     """Everything the arithmetic decoder needs.
 
-    var_trees[it][degree_index]: ArithTreeSpec for VN iterations 0..T-2
-    (roots emit next-iteration leaf values); dec_trees[degree_index] for
-    the decision pass (roots emit the hard bit via a single threshold
-    packaged as a 2-level op).  leaf_msg0 / leaf_cha are label->value
-    tables for the initial messages and the channel leaves.
+    var_trees[it][degree_index]: ArithTreeSpec for VN iterations
+    0..num_iters-1 (roots emit next-iteration leaf values);
+    dec_trees[degree_index] for the decision pass (None when the spec is a
+    truncated prefix).  leaf_msg0 / leaf_cha are label->value tables for
+    the initial messages and the channel leaves.  num_iters counts the VN
+    iterations covered; a prefix spec (num_iters < codec.max_iters - 1 or
+    dec_trees None) supports unanimity-exit decoding of the first
+    num_iters iterations only.
     """
 
     var_trees: list
-    dec_trees: list
+    dec_trees: list | None
     leaf_msg0: np.ndarray  # (Nq,) float32
     leaf_cha: np.ndarray  # (Nq_Cha,) float32
     degrees: list  # VN degrees, index-aligned with the tree lists
+    num_iters: int = 0
+
+    def __post_init__(self):
+        if not self.num_iters:
+            self.num_iters = len(self.var_trees)
 
 
 class ArithBuildError(ValueError):
@@ -316,22 +324,7 @@ def build_arith_spec(codec: LUTCodec) -> ArithSpec:
         _check_minsum_table(v)
 
     degrees = [int(d) for d in codec.var_tree_degrees]
-    var_specs = []
-    for ii in range(T - 1):
-        row = []
-        for d in degrees:
-            tree = codec.var_tree(ii, d).copy()
-            tree.set_leaves(codec.pmf_chk2var_trace[ii], codec.pmf_cha_design)
-            tree.update(reuse=True)  # recompute node pmfs under the fixed LUTs
-            row.append(
-                _build_tree_spec(tree, leaf_msg[ii], leaf_cha, leaf_msg[ii + 1])
-            )
-        var_specs.append(row)
-        # all iterations must share op structure for the scan path
-        if var_specs[0] is not row:
-            for a, b in zip(var_specs[0], row):
-                if a.structure_key() != b.structure_key():
-                    raise ArithBuildError("tree structure varies across iterations")
+    var_specs = _build_var_specs(codec, degrees, leaf_msg, leaf_cha, T - 1)
 
     dec_specs = []
     # decision output convention: value < 0 <=> label < nz <=> bit 1,
@@ -346,11 +339,84 @@ def build_arith_spec(codec: LUTCodec) -> ArithSpec:
         )
 
     # initial messages: labels quantized under qb_Msg -> values of iteration 0
-    leaf_msg0 = leaf_msg[0]
     return ArithSpec(
         var_trees=var_specs,
         dec_trees=dec_specs,
-        leaf_msg0=leaf_msg0,
+        leaf_msg0=leaf_msg[0],
+        leaf_cha=leaf_cha,
+        degrees=degrees,
+    )
+
+
+def _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii):
+    row = []
+    for d in degrees:
+        tree = codec.var_tree(ii, d).copy()
+        tree.set_leaves(codec.pmf_chk2var_trace[ii], codec.pmf_cha_design)
+        tree.update(reuse=True)  # recompute node pmfs under the fixed LUTs
+        row.append(_build_tree_spec(tree, leaf_msg[ii], leaf_cha, leaf_msg[ii + 1]))
+    return row
+
+
+def _build_var_specs(codec, degrees, leaf_msg, leaf_cha, num_iters):
+    var_specs = []
+    for ii in range(num_iters):
+        row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii)
+        # all iterations must share op structure for the scan path
+        if var_specs:
+            for a, b in zip(var_specs[0], row):
+                if a.structure_key() != b.structure_key():
+                    raise ArithBuildError("tree structure varies across iterations")
+        var_specs.append(row)
+    return var_specs
+
+
+def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None) -> ArithSpec:
+    """Largest valid arithmetic prefix of the decoder.
+
+    Builds VN iterations 0, 1, ... until one fails validation (late DE
+    iterations can be degenerate — converged pmfs yield LUTs that no sum
+    representation reproduces).  The returned spec has dec_trees=None: it
+    supports unanimity-exit decoding only; frames that do not converge
+    within spec.num_iters iterations must be re-decoded by a full decoder
+    (bit-identical, since decoding is deterministic from the inputs).
+    Raises if not even one iteration is representable.
+    """
+    if not codec.min_lut:
+        raise ArithBuildError("arith decoder covers min-LUT codecs only")
+    if codec.pmf_cha_design is None or not codec.pmf_chk2var_trace:
+        raise ArithBuildError("codec lacks design pmf snapshots")
+    T = codec.max_iters
+    if len(set(int(x) for x in codec.Nq_Msg)) != 1:
+        raise ArithBuildError("arith decoder needs uniform Nq_Msg")
+
+    leaf_cha = nudged_llr(codec.pmf_cha_design).astype(np.float32)
+    leaf_msg = [
+        repair_monotone(nudged_llr(codec.pmf_chk2var_trace[ii])).astype(np.float32)
+        for ii in range(T)
+    ]
+    degrees = [int(d) for d in codec.var_tree_degrees]
+
+    limit = T - 1 if max_prefix is None else min(max_prefix, T - 1)
+    var_specs = []
+    for s in range(limit):
+        try:
+            _check_minsum_table(leaf_msg[s])  # CN at iteration s needs this
+            row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, s)
+        except ArithBuildError:
+            break
+        if var_specs and any(
+            a.structure_key() != b.structure_key()
+            for a, b in zip(var_specs[0], row)
+        ):
+            break
+        var_specs.append(row)
+    if not var_specs:
+        raise ArithBuildError("no valid arithmetic prefix")
+    return ArithSpec(
+        var_trees=var_specs,
+        dec_trees=None,
+        leaf_msg0=leaf_msg[0],
         leaf_cha=leaf_cha,
         degrees=degrees,
     )

@@ -37,12 +37,21 @@ __all__ = ["ArithLUTDecoder"]
 
 
 class ArithLUTDecoder:
+    """Full decoder when built from a complete spec; with a prefix spec
+    (dec_trees None) it decodes only the first spec.num_iters iterations
+    and reports per-frame convergence — the fast first stage of
+    StagedLUTDecoder."""
+
     def __init__(self, codec: LUTCodec, early_exit: bool = True,
                  spec: ArithSpec | None = None):
         self.codec = codec
         self.early_exit = early_exit
         self.spec = spec if spec is not None else build_arith_spec(codec)
+        self.is_prefix = self.spec.dec_trees is None
+        if self.is_prefix and not early_exit:
+            raise ValueError("a prefix decoder requires early_exit")
         self.T = codec.max_iters
+        self.S = self.spec.num_iters  # VN iterations covered by the scan
         self.nvar = codec.graph.nvar
         self.layout = GroupedLayout(codec.graph)
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
@@ -62,21 +71,21 @@ class ArithLUTDecoder:
         self._leaf_cha = jnp.asarray(self.spec.leaf_cha)
 
         # stacked per-iteration op parameters: per block, per op:
-        # thr (T-1, K-1), base (T-1,), deltas (T-1, K-1)
+        # thr (S, K-1), levels (S, K)
         self._var_xs = []
         self._var_struct = []  # per block: ArithTreeSpec (structure only)
-        T = self.T
+        S = self.S
         for bi in range(len(lay.vn_blocks)):
-            tree0 = self.spec.var_trees[0][bi] if T > 1 else None
+            tree0 = self.spec.var_trees[0][bi] if S > 0 else None
             self._var_struct.append(tree0)
             ops_xs = []
-            if T > 1:
+            if S > 0:
                 for oi in range(len(tree0.ops)):
                     thr = np.stack(
-                        [self.spec.var_trees[ii][bi].ops[oi].thresholds for ii in range(T - 1)]
+                        [self.spec.var_trees[ii][bi].ops[oi].thresholds for ii in range(S)]
                     )
                     levels = np.stack(
-                        [self.spec.var_trees[ii][bi].ops[oi].levels for ii in range(T - 1)]
+                        [self.spec.var_trees[ii][bi].ops[oi].levels for ii in range(S)]
                     )
                     ops_xs.append(
                         dict(thr=jnp.asarray(thr), levels=jnp.asarray(levels))
@@ -188,7 +197,7 @@ class ArithLUTDecoder:
             latched = jnp.zeros((self.nvar, B), dtype=jnp.uint8)
             iters = jnp.full((B,), T, dtype=jnp.int32)
 
-            xs = dict(it=jnp.arange(T - 1, dtype=jnp.int32))
+            xs = dict(it=jnp.arange(self.S, dtype=jnp.int32))
             xs["var"] = self._var_xs
 
             def body(carry, x):
@@ -240,12 +249,17 @@ class ArithLUTDecoder:
             )
 
             m_cn = jnp.take(m_vn, self._perm_v2c, axis=0)
-            if early_exit and T >= 2:
+            if early_exit and self.S >= 1:
+                # covers the VN output of the last scan step
                 bits, conv = convergence(m_vn, m_cn)
                 conv = conv & ~done
                 latched = jnp.where(conv[None, :], bits, latched)
-                iters = jnp.where(conv, T - 1, iters)
+                iters = jnp.where(conv, self.S, iters)
                 done = done | conv
+
+            if self.is_prefix:
+                bits = jnp.take(latched, self._vn_node_pos, axis=0).T
+                return bits, done, iters
             outs = []
             for m in self._cn_blocks_of(m_cn):
                 outs.append(self._cn_minsum_values(m).reshape(-1, B))

@@ -1,0 +1,128 @@
+"""Staged decoding: run cheap short-iteration passes first, re-decode only
+the frames that did not converge.
+
+The reference decoder early-exits per frame at the unanimity syndrome check
+(LDPC_Code_LUT.cpp:327), so its cost tracks the *mean* iteration count.  A
+batched TPU decoder pays the worst case for the whole batch — unless the
+batch is compacted: decode everyone for a few iterations, keep the latched
+outputs of converged frames, and re-decode the survivors from scratch with
+a longer budget.  Because decoding is deterministic in its inputs and the
+early-exit latch freezes a frame's output at first convergence, staging is
+*bit-identical* to the full decoder — not an approximation.
+
+Stages: arithmetic prefix decoders (decoder/arith.py) at geometrically
+increasing iteration budgets, then the full decoder (arith if the whole
+codec validates, else the table-based scan decoder) for the stragglers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .arith import ArithBuildError, build_arith_prefix_spec, build_arith_spec
+from .arith_decoder import ArithLUTDecoder
+from .codec import LUTCodec
+
+__all__ = ["StagedLUTDecoder", "make_staged_decoder"]
+
+
+def _pad_size(n: int, minimum: int = 32) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+class StagedLUTDecoder:
+    """Drop-in decoder with host-side stage orchestration.
+
+    Not usable inside jit/shard_map (stages synchronize with the host);
+    BERSim uses it on the single-device path.
+    """
+
+    def __init__(self, codec: LUTCodec, early_exit: bool = True,
+                 first_stage_iters: int = 8):
+        if not early_exit:
+            raise ValueError("staged decoding requires early exit")
+        self.codec = codec
+        prefix_spec = build_arith_prefix_spec(codec)
+        s = prefix_spec.num_iters
+        stage_lengths = []
+        n = min(first_stage_iters, s)
+        while n < s:
+            stage_lengths.append(n)
+            n *= 4
+        stage_lengths.append(s)
+        self.stages = []
+        for n in stage_lengths:
+            spec = build_arith_prefix_spec(codec, max_prefix=n)
+            self.stages.append(ArithLUTDecoder(codec, early_exit=True, spec=spec))
+        # final full decoder for frames not converged within the prefix
+        try:
+            full_spec = build_arith_spec(codec)
+            self.full = ArithLUTDecoder(codec, early_exit=True, spec=full_spec)
+        except (ArithBuildError, ValueError):
+            from .fast_decoder import FastLUTDecoder
+
+            self.full = FastLUTDecoder(codec, early_exit=True)
+        self.stage_iters = stage_lengths
+
+    # ------------------------------------------------------------------
+    def __call__(self, llr_cha, llr_msg):
+        """Device-resident orchestration: only the per-stage done masks are
+        synced to the host (survivor compaction indices are tiny); the LLR
+        arrays, outputs, and gathers/scatters stay on device."""
+        import jax.numpy as jnp
+
+        cur_cha = jnp.asarray(llr_cha, dtype=jnp.int32)
+        cur_msg = jnp.asarray(llr_msg, dtype=jnp.int32)
+        B, nvar = cur_cha.shape
+        bits = jnp.zeros((B, nvar), dtype=jnp.uint8)
+        ok = jnp.zeros((B,), dtype=bool)
+        iters = jnp.full((B,), self.codec.max_iters, dtype=jnp.int32)
+        remaining = np.arange(B)  # absolute frame ids of cur_* rows [:len]
+
+        def scatter(bits, ok, iters, b, okv, it, rel_sel, abs_idx):
+            sel = jnp.asarray(rel_sel)
+            tgt = jnp.asarray(abs_idx)
+            bits = bits.at[tgt].set(jnp.take(b, sel, axis=0))
+            ok = ok.at[tgt].set(jnp.take(okv, sel))
+            iters = iters.at[tgt].set(jnp.take(it, sel))
+            return bits, ok, iters
+
+        for stage in self.stages:
+            b, done, it = stage._decode(cur_cha, cur_msg)
+            done_np = np.asarray(done)[: len(remaining)]
+            rel_conv = np.nonzero(done_np)[0]
+            if rel_conv.size:
+                bits, ok, iters = scatter(
+                    bits, ok, iters, b, done, it, rel_conv, remaining[rel_conv]
+                )
+            rel_left = np.nonzero(~done_np)[0]
+            remaining = remaining[~done_np]
+            if len(remaining) == 0:
+                return bits, ok, iters
+            P = _pad_size(len(remaining))
+            idxp = jnp.asarray(np.resize(rel_left, P))  # wrap-pad survivors
+            cur_cha = jnp.take(cur_cha, idxp, axis=0)
+            cur_msg = jnp.take(cur_msg, idxp, axis=0)
+
+        b, okf, it = self.full._decode(cur_cha, cur_msg)
+        n = len(remaining)
+        bits, ok, iters = scatter(
+            bits, ok, iters, b, okf, it, np.arange(n), remaining
+        )
+        return bits, ok, iters
+
+
+def make_staged_decoder(codec: LUTCodec, early_exit: bool = True):
+    """StagedLUTDecoder when the codec supports an arithmetic prefix and
+    early exit is on; otherwise the best single-pass decoder."""
+    if early_exit:
+        try:
+            return StagedLUTDecoder(codec, early_exit=True)
+        except (ArithBuildError, ValueError):
+            pass
+    from .fast_decoder import make_decoder
+
+    return make_decoder(codec, early_exit=early_exit)

@@ -70,10 +70,23 @@ class BERSim:
             self.k = codec.k if codec is not None else graph.nvar - graph.nchk
         self.rate = self.k / graph.nvar
         if codec is not None:
-            self.decoder = make_decoder(codec, early_exit=config.ldpc.parity_check_iter)
+            if mesh is None and config.ldpc.parity_check_iter:
+                # staged decoding (host-side stage orchestration) — exact,
+                # and cost tracks mean iterations like the reference's
+                # per-frame early exit
+                from ..decoder.staged import make_staged_decoder
+
+                self.decoder = make_staged_decoder(codec, early_exit=True)
+            else:
+                self.decoder = make_decoder(
+                    codec, early_exit=config.ldpc.parity_check_iter
+                )
         else:
             self.decoder = bp_decoder
-        self._step = self._build_step()
+        if mesh is None:
+            self._step = self._build_split_step()
+        else:
+            self._step = self._build_step()
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -138,6 +151,79 @@ class BERSim:
 
             return make_dp_step(step, self.mesh)
         return jax.jit(step)
+
+    def _build_split_step(self):
+        """Generate/count as jits with the decoder called in between —
+        required for staged decoders (host-side stage orchestration)."""
+        B = self.config.sim.batch_size
+        nvar = self.graph.nvar
+        k = self.k
+        codec = self.codec
+        zero_cw = self.zero_codeword
+
+        if codec is not None:
+            qb_cha = jnp.asarray(codec.qb_Cha)
+            qb_msg = jnp.asarray(codec.qb_Msg)
+            cha2msg = jnp.asarray(codec.cha2msg_map, dtype=jnp.int32)
+            use_qcha = codec.initial_message_mode == "qcha"
+            gen_T = None if codec.gen_T is None else jnp.asarray(codec.gen_T, jnp.int32)
+
+        @jax.jit
+        def gen(key, sigma):
+            kbits, knoise = jax.random.split(key)
+            if zero_cw:
+                u = jnp.zeros((B, k), dtype=jnp.uint8)
+                x = jnp.zeros((B, nvar), dtype=jnp.uint8)
+            else:
+                u = jax.random.bernoulli(kbits, 0.5, (B, k)).astype(jnp.uint8)
+                parity = (
+                    jax.lax.dot_general(
+                        u.astype(jnp.int32), gen_T,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    & 1
+                ).astype(jnp.uint8)
+                x = jnp.concatenate([u, parity], axis=-1)
+            llr, y = bpsk_awgn_llr(knoise, x, sigma)
+            out = dict(u=u, x=x, slicer=(y < 0).astype(jnp.uint8))
+            if codec is not None:
+                llr_cha = jnp.searchsorted(qb_cha, llr, side="left").astype(jnp.int32)
+                if use_qcha:
+                    llr_msg = cha2msg[llr_cha]
+                else:
+                    llr_msg = jnp.searchsorted(qb_msg, llr, side="left").astype(
+                        jnp.int32
+                    )
+                out["llr_cha"] = llr_cha
+                out["llr_msg"] = llr_msg
+            else:
+                out["llr"] = llr
+            return out
+
+        @jax.jit
+        def count(bits, iters, u, x, slicer):
+            data_err = jnp.sum(bits[:, :k] != u, axis=-1)
+            return dict(
+                frames=jnp.int32(B),
+                data_bits=jnp.int32(B * k),
+                uncoded_bits=jnp.int32(B * nvar),
+                frame_errors=jnp.sum(data_err > 0, dtype=jnp.int32),
+                data_bit_errors=jnp.sum(data_err, dtype=jnp.int32),
+                uncoded_bit_errors=jnp.sum(slicer != x, dtype=jnp.int32),
+                decode_iters=jnp.sum(iters, dtype=jnp.int32),
+            )
+
+        def step(key, sigma):
+            g = gen(key, sigma)
+            if codec is not None:
+                bits, ok, iters = self.decoder(g["llr_cha"], g["llr_msg"])
+            else:
+                bits, ok, iters = self.decoder(g["llr"])
+            return count(jnp.asarray(bits), jnp.asarray(iters), g["u"], g["x"],
+                         g["slicer"])
+
+        return step
 
     # ------------------------------------------------------------------
     def run(self, seed: int | None = None, verbose: bool = True) -> BERSimResults:
