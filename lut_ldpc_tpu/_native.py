@@ -17,7 +17,11 @@ import threading
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_REPO_ROOT, "csrc", "lut_core.cpp")
+_SRCS = [
+    os.path.join(_REPO_ROOT, "csrc", "lut_core.cpp"),
+    os.path.join(_REPO_ROOT, "csrc", "peg.cpp"),
+]
+_SRC = _SRCS[0]
 _BUILD_DIR = os.path.join(_REPO_ROOT, "build")
 _LIB = os.path.join(_BUILD_DIR, "liblutcore.so")
 
@@ -32,7 +36,7 @@ def _build() -> bool:
     # to the numpy fallback (and the reference's accumulation order)
     cmd = [
         "g++", "-O3", "-march=native", "-ffp-contract=off",
-        "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
+        "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _LIB,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -50,8 +54,9 @@ def get_lib():
         _tried = True
         if os.environ.get("LUT_LDPC_NO_NATIVE"):
             return None
-        needs_build = not os.path.exists(_LIB) or (
-            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        needs_build = not os.path.exists(_LIB) or any(
+            os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(_LIB)
+            for s in _SRCS
         )
         if needs_build and not _build():
             return None
@@ -69,6 +74,12 @@ def get_lib():
                                             dptr, iptr, iptr]
         lib.chk_update_minsum.restype = None
         lib.chk_update_minsum.argtypes = [dptr, ctypes.c_int64, ctypes.c_int64, dptr]
+        i32ptr = ctypes.POINTER(ctypes.c_int32)
+        lib.peg_construct.restype = ctypes.c_int32
+        lib.peg_construct.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, i32ptr, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_uint64, i32ptr, i32ptr,
+        ]
         _lib = lib
         return _lib
 

@@ -65,6 +65,8 @@ def main(argv=None) -> int:
     seed_eff = args.seed + cfg.sim.rand_seed_offset
     out_path = os.path.join(out_dir, f"{out_base}_rseed{seed_eff:04d}.npz")
     results.save(out_path)
+    # also write the reference's .it schema for the MATLAB analysis scripts
+    results.save_itfile(out_path.removesuffix(".npz") + ".it")
     # copy the params file next to the results (LDPC_BER_Sim.cpp:331-338)
     params_copy = os.path.join(out_dir, os.path.basename(args.params))
     if not os.path.exists(params_copy):

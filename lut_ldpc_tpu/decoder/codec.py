@@ -230,13 +230,27 @@ class LUTCodec:
     # ------------------------------------------------------------------
     # scalar golden decoder (LDPC_Code_LUT.cpp:259-353)
     # ------------------------------------------------------------------
-    def decode_ref(self, llr_cha: np.ndarray, llr_msg: np.ndarray, psc: bool = True):
+    def decode_ref(self, llr_cha: np.ndarray, llr_msg: np.ndarray, psc: bool = True,
+                   verbosity: int = 0, out=None):
         """Single-frame scalar decode; returns (hard bits, iterations).
 
         Positive return = converged at that iteration, negative = failure
         after max_iters (reference return-code convention).  psc = per-
         iteration syndrome check / early exit (LDPC_Code_LUT `psc` flag).
+
+        verbosity reproduces the reference's stimuli dumps for the VHDL
+        hardware flow (LDPC_Code_LUT.cpp:228-238, 292-337): >0 prints the
+        (channel label, hard output) stimuli pair, >1 the VN-to-CN message
+        stream per iteration, >2 the CN-to-VN messages; all hex, written to
+        `out` (default stdout).
         """
+        import sys
+
+        if out is None:
+            out = sys.stdout
+
+        def hexline(vals):
+            return "  ".join(f"{int(x):08X}" for x in vals) + "  "
         g = self.graph
         llr_cha = np.asarray(llr_cha, dtype=np.int64)
         llr_msg = np.asarray(llr_msg, dtype=np.int64)
@@ -269,6 +283,9 @@ class LUTCodec:
                 b[v] = 1 if neg[0] else 0
             return b if syndrome_ok(b) else None
 
+        if verbosity > 1:
+            out.write("Initial VN-to-CN messages: \n" + hexline(msgs) + "\n")
+
         for ii in range(self.max_iters):
             nz = int(self.Nq_Msg[ii]) // 2
             # CN pass
@@ -279,6 +296,11 @@ class LUTCodec:
                 else:
                     tree = self.chk_tree(ii, len(e))
                     msgs[e] = tree.chk_msg_update(list(int(x) for x in msgs[e]))
+            if verbosity > 2:
+                out.write(
+                    f"CN-to-VN messages after CN update at iteration {ii}:\n"
+                    + hexline(msgs) + "\n"
+                )
             # VN pass (skipped on last iteration)
             if ii != self.max_iters - 1:
                 for v in range(g.nvar):
@@ -290,15 +312,34 @@ class LUTCodec:
                 if psc:
                     b = unanimity(int(self.Nq_Msg[ii + 1]) // 2)
                     if b is not None:
+                        if verbosity > 0:
+                            self._print_stimuli(llr_cha, b, out)
                         return b, ii + 1
+                if verbosity > 1:
+                    out.write(
+                        f"VN-to-CN messages after VN update at iteration {ii}:\n"
+                        + hexline(msgs) + "\n"
+                    )
         # decision pass
         b = np.zeros(g.nvar, dtype=np.uint8)
         for v in range(g.nvar):
             e = vn_edges[v]
             tree = self.var_tree(self.max_iters - 1, len(e))
-            out = tree.dec_update([int(x) for x in msgs[e]], int(llr_cha[v]))
-            b[v] = 1 if out < 1 else 0
+            o = tree.dec_update([int(x) for x in msgs[e]], int(llr_cha[v]))
+            b[v] = 1 if o < 1 else 0
+        if verbosity > 0:
+            self._print_stimuli(llr_cha, b, out)
         return b, (self.max_iters if syndrome_ok(b) else -self.max_iters)
+
+    def _print_stimuli(self, llr_cha, bits, out) -> None:
+        """The stimuli pair consumed by the VHDL testbench flow
+        (LDPC_Code_LUT.cpp:228-238, QUICKSTART.md:44)."""
+        out.write(
+            "Stimuli Pair (Quantized channel LLR decoder inputs in hex format "
+            "and decoder output in binary format): \n"
+        )
+        out.write("  ".join(f"{int(x):08X}" for x in llr_cha) + "  \n")
+        out.write("  ".join(str(int(x)) for x in bits) + "  \n\n")
 
     # ------------------------------------------------------------------
     # persistence
@@ -378,6 +419,93 @@ class LUTCodec:
             gen_T=z["gen_T"] if "gen_T" in z.files else None,
             pmf_cha_design=z["pmf_cha_design"] if "pmf_cha_design" in z.files else None,
             pmf_chk2var_trace=pmf_trace,
+        )
+
+    # -- IT++ .it artifact (reference save_code schema) ---------------------
+    def _cn_msg_idx(self) -> np.ndarray:
+        """CN-ordered edge -> VN-major edge index (decoder_parameterization,
+        LDPC_Code_LUT.cpp:510-527)."""
+        g = self.graph
+        per_check = [None] * g.nchk
+        for d in g.cn_degrees:
+            d = int(d)
+            for row, c in zip(g.cn_edge_idx[d], g.cn_node_idx[d]):
+                per_check[int(c)] = row
+        return np.concatenate(per_check).astype(np.int32)
+
+    def _chk_equ_idx(self) -> list:
+        g = self.graph
+        per_check = [None] * g.nchk
+        for d in g.cn_degrees:
+            d = int(d)
+            for row, c in zip(g.cn_var_idx[d], g.cn_node_idx[d]):
+                per_check[int(c)] = np.asarray(row, dtype=np.int32)
+        return per_check
+
+    def save_itfile(self, path: str) -> None:
+        """Write the reference's binary codec artifact (save_code,
+        LDPC_Code_LUT.cpp:568-697; Fileversion 1) — the input of the
+        lut_ldpc_vhdl hardware-generation flow.  Generator data is not
+        included (G_defined = 0)."""
+        from ..utils.itfile import ItBin, itsave
+
+        itsave(path, {
+            "Fileversion": 1,
+            "H_defined": ItBin(True),
+            "G_defined": ItBin(False),
+            "LUTs_defined": ItBin(True),
+            "nvar": self.graph.nvar,
+            "nchk": self.graph.nchk,
+            "nchk_lin_indep": self.nchk_lin_indep,
+            "dv_vec": self.graph.dv_vec.astype(np.int32),
+            "dc_vec": self.graph.dc_vec.astype(np.int32),
+            "chk_equ_idx": self._chk_equ_idx(),
+            "cn_msg_idx": self._cn_msg_idx(),
+            "max_iters": self.max_iters,
+            "Nq_Cha": self.Nq_Cha,
+            "Nq_Msg": self.Nq_Msg.astype(np.int32),
+            "Nq_Cha_2_Nq_Msg_map": self.cha2msg_map.astype(np.int32),
+            "qb_Cha": self.qb_Cha.astype(np.float64),
+            "qb_Msg": self.qb_Msg.astype(np.float64),
+            "reuse_vec": self.reuse_vec.astype(np.uint8),
+            "minLUT": ItBin(self.min_lut),
+            "output_verbosity": 0,
+            "var_tree_string": serialize_tree_array(self.var_trees),
+            "chk_tree_string": serialize_tree_array(self.chk_trees),
+        })
+
+    @classmethod
+    def load_itfile(cls, path: str) -> "LUTCodec":
+        """Read a reference-format binary codec artifact (load_code,
+        LDPC_Code_LUT.cpp:568-640)."""
+        from ..utils.itfile import itload
+
+        z = itload(path)
+        if int(z["Fileversion"]) != 1:
+            raise ValueError("unsupported codec file version")
+        nvar, nchk = int(z["nvar"]), int(z["nchk"])
+        cols = [[] for _ in range(nvar)]
+        for cc, row in enumerate(z["chk_equ_idx"]):
+            for v in row:
+                cols[int(v)].append(cc)
+        graph = TannerGraph.from_cols(
+            [np.asarray(c, dtype=np.int64) for c in cols], nvar, nchk
+        )
+        var_trees = deserialize_tree_array(str(z["var_tree_string"]))
+        chk_trees = deserialize_tree_array(str(z["chk_tree_string"]))
+        return cls(
+            graph=graph,
+            max_iters=int(z["max_iters"]),
+            Nq_Cha=int(z["Nq_Cha"]),
+            Nq_Msg=np.asarray(z["Nq_Msg"], dtype=np.int64),
+            qb_Cha=np.asarray(z["qb_Cha"], dtype=np.float64),
+            qb_Msg=np.asarray(z["qb_Msg"], dtype=np.float64),
+            cha2msg_map=np.asarray(z["Nq_Cha_2_Nq_Msg_map"], dtype=np.int64),
+            reuse_vec=np.asarray(z["reuse_vec"], dtype=bool),
+            min_lut=bool(int(z["minLUT"])),
+            var_trees=var_trees,
+            chk_trees=chk_trees,
+            nchk_lin_indep=int(z["nchk_lin_indep"]),
         )
 
     def integrity_check(self) -> bool:

@@ -113,6 +113,50 @@ class BERSimResults:
         with open(str(path).removesuffix(".npz") + ".json", "w") as f:
             json.dump(summary, f, indent=1)
 
+    def save_itfile(self, path: str) -> None:
+        """Write the reference's .it results schema (LDPC_BER_Sim.cpp:342-362)
+        so scripts/aggregate_results.m and analyze_results.m consume our
+        results unchanged (counters stored as double vectors, like the
+        reference's to_vec conversion)."""
+        from ..utils.itfile import itsave
+
+        itsave(path, {
+            "sim_SNRdB": self.snr_db.astype(np.float64),
+            "sim_Nframes": self.frames.astype(np.float64),
+            "sim_Ndatabits": self.data_bits.astype(np.float64),
+            "sim_frame_errors": self.frame_errors.astype(np.float64),
+            "sim_data_bit_errors": self.data_bit_errors.astype(np.float64),
+            "sim_uncoded_bit_errors": self.uncoded_bit_errors.astype(np.float64),
+            "ldpc_nvar": np.array([float(self.nvar)]),
+            "ldpc_nchk": np.array([float(self.nchk)]),
+            "ldpc_code_rate": np.array([self.rate]),
+            "runtime": float(self.runtime),
+            "gitversion": self.gitversion,
+        })
+
+    @classmethod
+    def load_itfile(cls, path: str) -> "BERSimResults":
+        """Read a results .it file (ours or one written by the reference)."""
+        from ..utils.itfile import itload
+
+        z = itload(path)
+        r = cls(
+            snr_db=np.asarray(z["sim_SNRdB"], dtype=np.float64),
+            nvar=int(np.atleast_1d(z["ldpc_nvar"])[0]),
+            nchk=int(np.atleast_1d(z["ldpc_nchk"])[0]),
+            rate=float(np.atleast_1d(z["ldpc_code_rate"])[0]),
+            frames=np.asarray(z["sim_Nframes"]).astype(np.int64),
+            data_bits=np.asarray(z["sim_Ndatabits"]).astype(np.int64),
+            frame_errors=np.asarray(z["sim_frame_errors"]).astype(np.int64),
+            data_bit_errors=np.asarray(z["sim_data_bit_errors"]).astype(np.int64),
+            uncoded_bit_errors=np.asarray(z["sim_uncoded_bit_errors"]).astype(np.int64),
+            runtime=float(z.get("runtime", 0.0)),
+            gitversion=str(z.get("gitversion", "")),
+        )
+        # the reference schema does not store uncoded bit totals
+        r.uncoded_bits = r.frames * r.nvar
+        return r
+
     @classmethod
     def load(cls, path: str) -> "BERSimResults":
         z = np.load(path, allow_pickle=False)
