@@ -31,9 +31,10 @@ def build_codec(nvar=10000, max_iters=50):
     from lut_ldpc_tpu.decoder import LUTCodec
     from lut_ldpc_tpu.ops.pmf import snr2sig
 
-    ref_alist = "/root/reference/codes/rate0.50_dv03_dc06_N10000.alist"
-    if os.path.exists(ref_alist) and nvar == 10000:
-        graph = TannerGraph.from_dense(read_alist(ref_alist))
+    here = os.path.dirname(os.path.abspath(__file__))
+    own_alist = os.path.join(here, "codes", "rate0.50_dv03_dc06_N10000.alist")
+    if os.path.exists(own_alist) and nvar == 10000:
+        graph = TannerGraph.from_dense(read_alist(own_alist))
     else:
         rng = np.random.default_rng(1)
         dv, dc = 3, 6

@@ -120,6 +120,31 @@ class LDPCEnsemble:
         Rho = self.rho / self.degree_rho
         return Rho / Rho.sum()
 
+    def __str__(self) -> str:
+        """ASCII degree-distribution tables (the reference's TextTable-based
+        operator<<, LDPC_Ensemble.cpp:425-459)."""
+
+        def table(rows):
+            widths = [max(len(r[i]) for r in rows) for i in range(len(rows[0]))]
+            rule = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+            out = [rule]
+            for r in rows:
+                out.append(
+                    "|" + "|".join(f" {c.ljust(w)} " for c, w in zip(r, widths)) + "|"
+                )
+                out.append(rule)
+            return "\n".join(out)
+
+        l = table([
+            ["VN degrees"] + [str(int(d)) for d in self.degree_lam],
+            ["VN edge pmf"] + [f"{x:g}" for x in self.lam],
+        ])
+        r = table([
+            ["CN degrees"] + [str(int(d)) for d in self.degree_rho],
+            ["CN edge pmf"] + [f"{x:g}" for x in self.rho],
+        ])
+        return l + "\n" + r
+
     def chk_degree_dist_dense(self) -> np.ndarray:
         r = np.zeros(int(self.degree_rho.max()))
         r[self.degree_rho - 1] = self.rho

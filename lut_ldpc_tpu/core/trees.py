@@ -146,6 +146,47 @@ class TreeNode:
             return int(self.Q[label])
         return self.K - 1 - int(self.Q[label])
 
+    # -- TikZ drawing (LUT_Tree.cpp:308-368) --------------------------------
+    def tikz_draw(self) -> str:
+        """TikZ code drawing this (sub)tree, reference style."""
+        height = self.height()
+        out = [
+            "\\tikzset{",
+            "   leavenode/.style = {align=center, inner sep=2pt, text centered },",
+            "   imnode/.style = {align=center, inner sep=1pt, text centered},",
+        ]
+        for hh in range(1, height + 1):
+            out.append(
+                f"   level {hh}/.style={{sibling distance="
+                f"{7 * 2 ** (height - hh)}mm}},"
+            )
+        out += [
+            "}",
+            "",
+            "\\def\\imstring{$\\Phi$}",
+            "\\def\\chastring{$L$}",
+            "\\def\\msgstring{$\\mu$}",
+            "",
+            "\\begin{tikzpicture}[<-, >=stealth]",
+        ]
+        body = []
+        self._tikz_recursive(body, 0)
+        return "\n".join(out) + "".join(body) + "\n\\end{tikzpicture}"
+
+    def _tikz_recursive(self, out: list, level: int) -> None:
+        indent = "\n" + "   " * level
+        if self.type == ROOT:
+            out.append(indent + "\\node (root)[imnode] {\\imstring}")
+        elif self.type == MSG:
+            out.append(indent + "child{ node [leavenode] {\\msgstring}")
+        elif self.type == CHA:
+            out.append(indent + "child{ node [leavenode] {\\chastring}")
+        else:
+            out.append(indent + "child{ node[imnode] {\\imstring}")
+        for c in self.children:
+            c._tikz_recursive(out, level + 1)
+        out.append(indent + (";" if self.type == ROOT else "}"))
+
     # -- serialization (format of trees/README.md) --------------------------
     def template_string(self) -> str:
         s = {IM: "i", ROOT: "r", MSG: "m", CHA: "c"}[self.type]

@@ -41,7 +41,10 @@ class BPDecoder:
     """Batched flooding BP decoder.
 
     algorithm: 'spa' (sum-product), 'minsum', 'nms' (normalized min-sum,
-    scale), or 'oms' (offset min-sum, offset).
+    scale), 'oms' (offset min-sum, offset), or 'qllr' (fixed-point
+    sum-product with a quantized Jacobian-logexp correction table — the
+    finite-precision BP of IT++'s LLR_calc_unit, whose four resolution
+    knobs the reference BER sim exposes, LDPC_BER_Sim.cpp:74-78, 201).
     decode(llr) with (B, nvar) float input returns (bits (B, nvar) uint8,
     ok (B,) bool, iters (B,) int32).
     """
@@ -55,9 +58,26 @@ class BPDecoder:
         offset: float = 0.15,
         early_exit: bool = True,
         llr_clip: float = 100.0,
+        qllr_scale_res: int = 12,
+        qllr_table_size: int = 300,
+        qllr_spacing_res: int = 7,
+        qllr_total_res: int = 28,
     ):
-        if algorithm not in ("spa", "minsum", "nms", "oms"):
+        if algorithm not in ("spa", "minsum", "nms", "oms", "qllr"):
             raise ValueError(f"unknown BP algorithm {algorithm!r}")
+        if algorithm == "qllr":
+            self.q_scale = 1 << qllr_scale_res
+            self.q_shift = qllr_scale_res - qllr_spacing_res
+            self.q_max = (1 << (qllr_total_res - 1)) - 1
+            if qllr_table_size > 0:
+                i = np.arange(qllr_table_size)
+                delta = float(2**self.q_shift) / self.q_scale
+                self._q_table = jnp.asarray(
+                    np.floor(0.5 + self.q_scale * np.log1p(np.exp(-i * delta)))
+                    .astype(np.int32)
+                )
+            else:
+                self._q_table = None  # pure min-sum on quantized values
         self.graph = graph
         self.max_iters = int(max_iters)
         self.algorithm = algorithm
@@ -78,8 +98,41 @@ class BPDecoder:
         self._decode = jax.jit(self._build())
 
     # ------------------------------------------------------------------
+    def _q_logexp(self, x):
+        """Quantized log(1 + exp(-x/scale)) table term (x >= 0 QLLR)."""
+        if self._q_table is None:
+            return jnp.zeros_like(x)
+        idx = x >> self.q_shift
+        n = self._q_table.shape[0]
+        return jnp.where(idx < n, jnp.take(self._q_table, jnp.minimum(idx, n - 1)), 0)
+
+    def _q_boxplus(self, a, b):
+        """Fixed-point Jacobian boxplus (IT++ LLR_calc_unit semantics)."""
+        mag = jnp.minimum(jnp.abs(a), jnp.abs(b))
+        sgn = jnp.sign(a) * jnp.sign(b)
+        core = sgn * mag + self._q_logexp(jnp.abs(a + b)) - self._q_logexp(
+            jnp.abs(a - b)
+        )
+        return jnp.clip(core, -self.q_max, self.q_max)
+
+    def _cn_update_qllr(self, m: jnp.ndarray) -> jnp.ndarray:
+        """Leave-one-out boxplus via prefix/suffix chains; m (..., d) int32."""
+        d = m.shape[-1]
+        big = self.q_max  # boxplus identity is +inf; q_max is close enough
+        prefix = [jnp.full(m.shape[:-1], big, dtype=m.dtype)]
+        for i in range(d - 1):
+            prefix.append(self._q_boxplus(prefix[-1], m[..., i]))
+        suffix = [jnp.full(m.shape[:-1], big, dtype=m.dtype)]
+        for i in range(d - 1, 0, -1):
+            suffix.append(self._q_boxplus(suffix[-1], m[..., i]))
+        suffix = suffix[::-1]
+        outs = [self._q_boxplus(prefix[i], suffix[i]) for i in range(d)]
+        return jnp.stack(outs, axis=-1)
+
     def _cn_update(self, m: jnp.ndarray) -> jnp.ndarray:
         """Leave-one-out boxplus over the last axis; m (..., d)."""
+        if self.algorithm == "qllr":
+            return self._cn_update_qllr(m)
         sgn = jnp.where(m < 0, -1.0, 1.0)
         sign_prod = jnp.prod(sgn, axis=-1, keepdims=True)
         sign_out = sign_prod * sgn  # product of the *other* signs
@@ -102,7 +155,7 @@ class BPDecoder:
         return sign_out * mag_out
 
     def _build(self):
-        clip = self.llr_clip
+        clip = self.q_max if self.algorithm == "qllr" else self.llr_clip
 
         def cn_pass(msgs):
             for d in self._cn_degrees:
@@ -133,6 +186,10 @@ class BPDecoder:
 
         def decode(llr):
             B = llr.shape[0]
+            if self.algorithm == "qllr":
+                llr = jnp.clip(
+                    jnp.round(llr * self.q_scale), -self.q_max, self.q_max
+                ).astype(jnp.int32)
             msgs = llr[:, self._edge_var]
             done = jnp.zeros((B,), dtype=bool)
             latched = jnp.zeros((B, self.nvar), dtype=jnp.uint8)
@@ -160,3 +217,23 @@ class BPDecoder:
 
     def __call__(self, llr):
         return self._decode(jnp.asarray(llr, dtype=jnp.float32))
+
+
+def make_bp_decoder(graph, bp_config, early_exit: bool = True) -> BPDecoder:
+    """BPDecoder from a BPConfig (maps the reference's INI keys; a
+    qllr_total_bits > 0 selects the fixed-point QLLR decoder)."""
+    alg = bp_config.algorithm
+    kw = {}
+    if getattr(bp_config, "qllr_total_bits", 0):
+        alg = "qllr"
+        kw = dict(
+            qllr_scale_res=bp_config.qllr_frac_bits or 12,
+            qllr_table_size=bp_config.qllr_table_size,
+            qllr_spacing_res=bp_config.qllr_table_frac_bits or 7,
+            qllr_total_res=bp_config.qllr_total_bits,
+        )
+    return BPDecoder(
+        graph, max_iters=bp_config.max_iter, algorithm=alg,
+        scale=bp_config.scale, offset=bp_config.offset,
+        early_exit=early_exit, **kw,
+    )

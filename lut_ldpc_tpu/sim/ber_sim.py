@@ -226,7 +226,16 @@ class BERSim:
         return step
 
     # ------------------------------------------------------------------
-    def run(self, seed: int | None = None, verbose: bool = True) -> BERSimResults:
+    def run(self, seed: int | None = None, verbose: bool = True,
+            checkpoint_path: str | None = None,
+            checkpoint_every: int = 50) -> BERSimResults:
+        """Monte-Carlo sweep.  With checkpoint_path, counter state is
+        persisted every checkpoint_every batches and at each SNR point;
+        a rerun resumes exactly (counter-based RNG keys make the
+        continuation bit-identical to an uninterrupted run)."""
+        import json
+        import os
+
         cfg = self.config.sim
         if seed is None:
             seed = cfg.rand_seed
@@ -239,18 +248,34 @@ class BERSim:
             rate=self.rate,
             gitversion=git_version(),
         )
-        n_dev = 1 if self.mesh is None else self.mesh.devices.size
-        frames_per_step = cfg.batch_size * n_dev
+        start_ss, start_bb = 0, 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            results = BERSimResults.load(checkpoint_path)
+            with open(checkpoint_path + ".state") as f:
+                st = json.load(f)
+            start_ss, start_bb = st["ss"], st["bb"]
+            if verbose:
+                print(f"resuming from SNR index {start_ss}, batch {start_bb}")
+
+        def save_ckpt(ss, bb):
+            if not checkpoint_path:
+                return
+            results.save(checkpoint_path.removesuffix(".npz"))
+            with open(checkpoint_path + ".state", "w") as f:
+                json.dump({"ss": ss, "bb": bb}, f)
 
         t0 = time.perf_counter()
         skip_rest = False
         for ss, snr in enumerate(snr_db):
+            if ss < start_ss:
+                continue
             if skip_rest:
                 continue  # zero-padded point (LDPC_BER_Sim.cpp:142-149)
             sigma = float(snr2sig(self.rate, snr))
             key_snr = jax.random.fold_in(base_key, ss)
-            frames = ferrs = 0
-            bb = 0
+            frames = int(results.frames[ss])
+            ferrs = int(results.frame_errors[ss])
+            bb = start_bb if ss == start_ss else 0
             while frames < cfg.Nframes and ferrs <= cfg.Nfers:
                 c = self._step(jax.random.fold_in(key_snr, bb), sigma)
                 c = {kk: int(v) for kk, v in c.items()}
@@ -261,6 +286,9 @@ class BERSim:
                 frames += c["frames"]
                 ferrs += c["frame_errors"]
                 bb += 1
+                if checkpoint_path and bb % checkpoint_every == 0:
+                    save_ckpt(ss, bb)
+            save_ckpt(ss + 1, 0)
             if verbose:
                 print(
                     f"SNR = {snr:g}  frames {results.frames[ss]}  "
@@ -337,14 +365,10 @@ def run_from_config(
             if config.sim.codec_filename and config.sim.save_codec in (-1, seed):
                 codec.save(config.sim.codec_filename)
     else:
-        bpc = config.bp
-        bp = BPDecoder(
-            graph,
-            max_iters=bpc.max_iter,
-            algorithm=bpc.algorithm,
-            scale=bpc.scale,
-            offset=bpc.offset,
-            early_exit=config.ldpc.parity_check_iter,
+        from ..decoder.bp import make_bp_decoder
+
+        bp = make_bp_decoder(
+            graph, config.bp, early_exit=config.ldpc.parity_check_iter
         )
 
     sim = BERSim(config, graph, codec=codec, bp_decoder=bp, mesh=mesh)

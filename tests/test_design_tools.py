@@ -107,3 +107,43 @@ def test_reuse_vec_opt_cli(capsys):
     reuse = eval(last.split("= ")[1])
     assert sum(reuse) == 2  # 8 iters - 6 stages
     assert reuse[0] == 0  # first iteration never reused
+
+
+def test_tree_file_mode(tmp_path):
+    """Tree templates from the INI dialect drive a full design + decode."""
+    import numpy as np
+    from lut_ldpc_tpu.core.tanner import TannerGraph
+    from lut_ldpc_tpu.decoder import LUTCodec, make_decoder
+    from lut_ldpc_tpu.ops.pmf import snr2sig
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util_codes import random_regular_H
+
+    graph = TannerGraph.from_dense(random_regular_H(96, 3, 6, seed=2))
+    sig = float(snr2sig(0.5, 2.0))
+    codec = LUTCodec.design(
+        graph, sig**2, max_iters=4,
+        tree_method="filename=trees/tree_file_example.ini",
+    )
+    dec = make_decoder(codec)
+    rng = np.random.default_rng(0)
+    s2 = float(snr2sig(0.5, 5.0))
+    y = 1.0 + s2 * rng.standard_normal((16, graph.nvar))
+    bits, ok, _ = dec(*codec.quantize_channel(2.0 * y / s2**2))
+    assert np.asarray(ok).mean() > 0.8
+    # golden scalar agreement on one frame
+    lc, lm = codec.quantize_channel(2.0 * y / s2**2)
+    want, _ = codec.decode_ref(lc[0], lm[0])
+    assert np.array_equal(np.asarray(bits)[0], want)
+
+
+def test_repo_assets_load():
+    """The generated repo assets parse and are consistent."""
+    from lut_ldpc_tpu.core.alist import read_alist
+    from lut_ldpc_tpu.core.ensemble import LDPCEnsemble
+
+    ens = LDPCEnsemble.read("ensembles/rate0.50_dv02-17_dc08-09_lut_q4.ens")
+    assert ens.rate() == pytest.approx(0.5, abs=1e-2)
+    H = read_alist("codes/rate0.50_dv03_dc06_N1000.alist")
+    assert H.shape == (500, 1000)
+    assert (H.sum(axis=0) == 3).all()

@@ -175,3 +175,37 @@ def test_parse_ini_bp(tmp_path):
     cfg = parse_ini(str(ini))
     assert cfg.codec_type == "BP"
     assert cfg.bp.max_iter == 30 and cfg.bp.algorithm == "nms"
+
+
+def test_bp_qllr_decoder(graph96):
+    """Fixed-point QLLR BP corrects errors; coarse precision degrades
+    gracefully toward min-sum-like behavior."""
+    from lut_ldpc_tpu.decoder.bp import BPDecoder
+
+    rng = np.random.default_rng(3)
+    sig = float(snr2sig(0.5, 3.0))
+    y = 1.0 + sig * rng.standard_normal((32, graph96.nvar))
+    llr = 2.0 * y / sig**2
+    dec = BPDecoder(graph96, max_iters=30, algorithm="qllr")
+    bits, ok, _ = dec(llr)
+    uncoded = (y < 0).mean()
+    assert np.asarray(bits).mean() < uncoded / 3
+    assert np.asarray(ok).mean() > 0.8
+    # fine-precision QLLR ~ float SPA performance on the same noise
+    ref = BPDecoder(graph96, max_iters=30, algorithm="spa")
+    bref, _, _ = ref(llr)
+    assert abs(float(np.asarray(bits).mean()) - float(np.asarray(bref).mean())) < 0.01
+    # table_size=0 -> quantized min-sum still works
+    dec_ms = BPDecoder(graph96, max_iters=30, algorithm="qllr", qllr_table_size=0)
+    bits_ms, _, _ = dec_ms(llr)
+    assert np.asarray(bits_ms).mean() < uncoded
+
+
+def test_bp_config_mapping(graph96):
+    from lut_ldpc_tpu.decoder.bp import make_bp_decoder
+    from lut_ldpc_tpu.sim.config import BPConfig
+
+    dec = make_bp_decoder(graph96, BPConfig(max_iter=12, qllr_total_bits=16,
+                                            qllr_frac_bits=8))
+    assert dec.algorithm == "qllr" and dec.max_iters == 12
+    assert dec.q_max == (1 << 15) - 1
