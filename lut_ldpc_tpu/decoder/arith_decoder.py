@@ -53,7 +53,7 @@ class ArithLUTDecoder:
         self.T = codec.max_iters
         self.S = self.spec.num_iters  # VN iterations covered by the scan
         self.nvar = codec.graph.nvar
-        self.layout = GroupedLayout(codec.graph)
+        self.layout = GroupedLayout(codec.graph, slot_major=True)
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
             raise ValueError("arith spec degrees do not match graph blocks")
         self._build_constants()
@@ -95,34 +95,43 @@ class ArithLUTDecoder:
 
     # ------------------------------------------------------------------
     def _vn_blocks_of(self, m):
+        # slot-major: block range reshapes to (d, n, B) with contiguous slots
         out = []
         for blk in self.layout.vn_blocks:
             d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
-            out.append(m[e0 : e0 + n * d].reshape(n, d, -1))
+            out.append(m[e0 : e0 + n * d].reshape(d, n, -1))
         return out
 
     def _cn_blocks_of(self, m):
         out = []
         for blk in self.layout.cn_blocks:
             d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
-            out.append(m[e0 : e0 + n * d].reshape(n, d, -1))
+            out.append(m[e0 : e0 + n * d].reshape(d, n, -1))
         return out
 
     @staticmethod
     def _cn_minsum_values(m):
-        """Min-LUT CN update on values; m (n, d, B) float32.
+        """Min-LUT CN update on values; m (d, n, B) float32, slot-major.
 
-        Matches chk_update_minsum label semantics (LDPC_Code_LUT.cpp:355)
-        given the validated value<->label correspondence."""
-        d = m.shape[1]
+        out_i = (sign parity excluding i) * min_{j != i} |m_j| via
+        prefix/suffix mins over contiguous slot slices — value-identical to
+        the reference's min1/min2/argmin formulation (chk_update_minsum,
+        LDPC_Code_LUT.cpp:355: for i = argmin the min of the others IS
+        min2, elsewhere min1; duplicated minima give the same value either
+        way) without the costly argmin/one-hot."""
+        d = m.shape[0]
         neg = m < 0
         mag = jnp.abs(m)
-        min1 = jnp.min(mag, axis=1, keepdims=True)
-        idx = jnp.argmin(mag, axis=1)
-        is_min = jnp.arange(d, dtype=jnp.int32)[None, :, None] == idx[:, None, :]
-        min2 = jnp.min(jnp.where(is_min, jnp.inf, mag), axis=1, keepdims=True)
-        sign_prod = (jnp.sum(neg, axis=1, keepdims=True) & 1).astype(bool)
-        tmp = jnp.where(is_min, min2, min1)
+        INF = jnp.asarray(np.inf, m.dtype)
+        pre = [jnp.full(m.shape[1:], INF, m.dtype)]
+        for j in range(d - 1):
+            pre.append(jnp.minimum(pre[-1], mag[j]))
+        suf = [jnp.full(m.shape[1:], INF, m.dtype)]
+        for j in range(d - 1, 0, -1):
+            suf.append(jnp.minimum(suf[-1], mag[j]))
+        suf = suf[::-1]
+        tmp = jnp.stack([jnp.minimum(pre[j], suf[j]) for j in range(d)], axis=0)
+        sign_prod = (jnp.sum(neg, axis=0, keepdims=True) & 1).astype(bool)
         return jnp.where(sign_prod ^ neg, -tmp, tmp)
 
     def _eval_tree(self, struct, x_vals, op_params):
@@ -159,15 +168,15 @@ class ArithLUTDecoder:
 
         def convergence(m_vn, m_cn):
             bits, unan = [], None
-            for m in self._vn_blocks_of(m_vn):
+            for m in self._vn_blocks_of(m_vn):  # (d, n, B)
                 neg = m < 0
-                agree = jnp.all(neg == neg[:, :1], axis=(0, 1))  # (B,)
+                agree = jnp.all(neg == neg[:1], axis=(0, 1))  # (B,)
                 unan = agree if unan is None else (unan & agree)
-                bits.append(neg[:, 0, :].astype(jnp.uint8))  # (n, B)
+                bits.append(neg[0].astype(jnp.uint8))  # (n, B)
             bits = jnp.concatenate(bits, axis=0)  # (nvar, B)
             synd = None
             for m in self._cn_blocks_of(m_cn):
-                s = jnp.sum((m < 0).astype(jnp.int32), axis=1) & 1  # (n, B)
+                s = jnp.sum((m < 0).astype(jnp.int32), axis=0) & 1  # (n, B)
                 ok = jnp.all(s == 0, axis=0)
                 synd = ok if synd is None else (synd & ok)
             return bits, unan & synd
@@ -188,10 +197,10 @@ class ArithLUTDecoder:
             for blk in lay.vn_blocks:
                 seg = v0[blk.node_start : blk.node_start + blk.num_nodes]  # (n, B)
                 parts.append(
-                    jnp.broadcast_to(seg[:, None, :], (blk.num_nodes, blk.degree, B))
+                    jnp.broadcast_to(seg[None], (blk.degree, blk.num_nodes, B))
                     .reshape(-1, B)
                 )
-            m_vn = jnp.concatenate(parts, axis=0)  # (E, B)
+            m_vn = jnp.concatenate(parts, axis=0)  # (E, B), slot-major blocks
 
             done = jnp.zeros((B,), dtype=bool)
             latched = jnp.zeros((self.nvar, B), dtype=jnp.uint8)
@@ -218,27 +227,26 @@ class ArithLUTDecoder:
                 outs = []
                 for bi, blk in enumerate(lay.vn_blocks):
                     d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
-                    m = m_new[e0 : e0 + n * d].reshape(n, d, B)
+                    m = m_new[e0 : e0 + n * d].reshape(d, n, B)
                     # leave-one-out leaf sets: output i consumes the queue
                     # [msgs minus msg_i, cha] in DFS order; the channel value
                     # always lands in the last leaf slot (loo row i over d+1
                     # inputs ends with index d, the appended channel — same
-                    # as LUT_Tree::var_msg_update's deque semantics)
+                    # as LUT_Tree::var_msg_update's deque semantics).
+                    # slot-major: every m[slot] is a contiguous (n, B) slice.
                     struct = self._var_struct[bi]
                     loo = _loo(d)  # (d_out, d); column d-1 is always cha
-                    # static slices + stack (NOT fancy indexing, which XLA
-                    # lowers to a slow per-element gather on TPU)
                     x_vals = [
                         jnp.stack(
-                            [m[:, int(loo[i, j]), :] for i in range(d)], axis=1
-                        )  # (n, d_out, B)
+                            [m[int(loo[i, j])] for i in range(d)], axis=0
+                        )  # (d_out, n, B)
                         for j in range(d - 1)
                     ]
                     x_vals.append(
-                        jnp.broadcast_to(cha_blocks[bi][:, None, :], (n, d, B))
+                        jnp.broadcast_to(cha_blocks[bi][None], (d, n, B))
                     )
                     prm = x["var"][bi]
-                    out = self._eval_tree(struct, x_vals, prm)  # (n, d, B)
+                    out = self._eval_tree(struct, x_vals, prm)  # (d_out, n, B)
                     outs.append(out.reshape(-1, B))
                 m_next = jnp.concatenate(outs, axis=0)
                 m_vn = jnp.where(done[None, :], m_vn, m_next)
@@ -269,9 +277,9 @@ class ArithLUTDecoder:
             dec_bits = []
             for bi, blk in enumerate(lay.vn_blocks):
                 d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
-                m = m_fin[e0 : e0 + n * d].reshape(n, d, B)
+                m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
                 spec = self._dec_specs[bi]
-                x_vals = [m[:, j, :] for j in range(d)] + [cha_blocks[bi]]
+                x_vals = [m[j] for j in range(d)] + [cha_blocks[bi]]
                 prm = [
                     dict(thr=jnp.asarray(op.thresholds),
                          levels=jnp.asarray(op.levels))
@@ -288,8 +296,8 @@ class ArithLUTDecoder:
             for blk in lay.cn_blocks:
                 d, n = blk.degree, blk.num_nodes
                 s = jnp.sum(
-                    edge_bits[pos : pos + n * d].reshape(n, d, B).astype(jnp.int32),
-                    axis=1,
+                    edge_bits[pos : pos + n * d].reshape(d, n, B).astype(jnp.int32),
+                    axis=0,
                 ) & 1
                 ok = jnp.all(s == 0, axis=0)
                 s_ok = ok if s_ok is None else (s_ok & ok)

@@ -208,15 +208,21 @@ class FastLUTDecoder:
         return out
 
     def _cn_minsum(self, m, nz):
+        """Leave-one-out magnitude mins via prefix/suffix (identical outputs
+        to the reference's min1/min2/argmin form — see lut_decoder.cn_minsum)."""
         d = m.shape[-1]
         neg = m < nz
         mag = jnp.where(neg, nz - 1 - m, m - nz)
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        idx = jnp.argmin(mag, axis=-1)
-        is_min = jnp.arange(d, dtype=jnp.int32) == idx[..., None]
-        min2 = jnp.min(jnp.where(is_min, nz, mag), axis=-1, keepdims=True)
+        fill = jnp.full(m.shape[:-1], nz, dtype=mag.dtype)
+        pre = [fill]
+        for j in range(d - 1):
+            pre.append(jnp.minimum(pre[-1], mag[..., j]))
+        suf = [fill]
+        for j in range(d - 1, 0, -1):
+            suf.append(jnp.minimum(suf[-1], mag[..., j]))
+        suf = suf[::-1]
+        tmp = jnp.stack([jnp.minimum(pre[j], suf[j]) for j in range(d)], axis=-1)
         sign_prod = (jnp.sum(neg, axis=-1, keepdims=True) & 1).astype(jnp.bool_)
-        tmp = jnp.where(is_min, min2, min1)
         sign_msg = sign_prod ^ neg
         return jnp.where(sign_msg, nz - 1 - tmp, nz + tmp).astype(self.msg_dtype)
 

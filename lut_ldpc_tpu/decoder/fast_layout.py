@@ -51,13 +51,25 @@ class Block:
 
 
 class GroupedLayout:
-    """Static index arrays for the permutation-form decoder."""
+    """Static index arrays for the permutation-form decoder.
 
-    def __init__(self, graph: TannerGraph):
+    slot_major=True lays each degree block out with the edge-slot axis
+    OUTERMOST (block range reshapes to (d, n, B)), so per-slot reductions
+    and leave-one-out arrangements are contiguous slices — the layout the
+    TPU's (sublane, lane) tiling wants.  slot_major=False keeps (n, d, B)
+    node-major order.  The permutations absorb the difference.
+    """
+
+    def __init__(self, graph: TannerGraph, slot_major: bool = False):
         g = graph
         self.nvar = g.nvar
         self.nchk = g.nchk
         self.num_edges = g.num_edges
+        self.slot_major = slot_major
+
+        def block_edges(edge_idx):
+            # edge_idx (n, d): grouped order within the block
+            return edge_idx.T.reshape(-1) if slot_major else edge_idx.reshape(-1)
 
         # --- VN-grouped order -------------------------------------------
         vn_blocks: list[Block] = []
@@ -69,7 +81,7 @@ class GroupedLayout:
             nodes = g.vn_node_idx[d]
             vn_blocks.append(Block(d, npos, len(nodes), epos))
             vn_nodes.append(nodes)
-            vnG_edge_orig.append(g.vn_edge_idx[d].reshape(-1))
+            vnG_edge_orig.append(block_edges(g.vn_edge_idx[d]))
             npos += len(nodes)
             epos += nodes.size * d
         self.vn_blocks = vn_blocks
@@ -89,8 +101,11 @@ class GroupedLayout:
             d = int(d)
             nodes = g.cn_node_idx[d]
             cn_blocks.append(Block(d, npos, len(nodes), epos))
-            cnG_edge_orig.append(g.cn_edge_idx[d].reshape(-1))
-            cn_var_natural.append(g.cn_var_idx[d].reshape(-1))
+            cnG_edge_orig.append(block_edges(g.cn_edge_idx[d]))
+            cn_var_natural.append(
+                g.cn_var_idx[d].T.reshape(-1) if slot_major
+                else g.cn_var_idx[d].reshape(-1)
+            )
             npos += len(nodes)
             epos += nodes.size * d
         self.cn_blocks = cn_blocks

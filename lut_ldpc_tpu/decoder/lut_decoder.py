@@ -36,19 +36,25 @@ __all__ = ["LUTDecoder", "cn_minsum"]
 def cn_minsum(m: jnp.ndarray, nz: int) -> jnp.ndarray:
     """Vectorized integer-label min-sum CN update over the last axis.
 
-    m: (..., d) labels in [0, 2*nz); output same shape.  Matches
-    LDPC_Code_LUT.cpp:355-402 including first-minimum index tie-breaking
-    (only min1/min2 values affect outputs, so argmin suffices).
+    m: (..., d) labels in [0, 2*nz); output same shape.  out_i uses
+    min_{j != i} of the magnitudes via prefix/suffix mins — identical
+    outputs to LDPC_Code_LUT.cpp:355-402 (for i = argmin the min of the
+    others is min2, elsewhere min1; ties give equal values either way;
+    degree-1 nodes get the reference's nz initialization).
     """
     d = m.shape[-1]
     neg = m < nz
     mag = jnp.where(neg, nz - 1 - m, m - nz)
-    min1 = jnp.min(mag, axis=-1, keepdims=True)
-    idx = jnp.argmin(mag, axis=-1)
-    is_min = jnp.arange(d, dtype=jnp.int32) == idx[..., None]
-    min2 = jnp.min(jnp.where(is_min, nz, mag), axis=-1, keepdims=True)
+    fill = jnp.full(m.shape[:-1], nz, dtype=mag.dtype)
+    pre = [fill]
+    for j in range(d - 1):
+        pre.append(jnp.minimum(pre[-1], mag[..., j]))
+    suf = [fill]
+    for j in range(d - 1, 0, -1):
+        suf.append(jnp.minimum(suf[-1], mag[..., j]))
+    suf = suf[::-1]
+    tmp = jnp.stack([jnp.minimum(pre[j], suf[j]) for j in range(d)], axis=-1)
     sign_prod = jnp.sum(neg, axis=-1, keepdims=True) & 1
-    tmp = jnp.where(is_min, min2, min1)
     sign_msg = sign_prod ^ neg.astype(jnp.int32)
     return jnp.where(sign_msg == 1, nz - 1 - tmp, nz + tmp)
 
