@@ -84,10 +84,13 @@ def main():
     llr_cha = jnp.asarray(llr_cha, jnp.int32)
     llr_msg = jnp.asarray(llr_msg, jnp.int32)
 
-    # warmup / compile
+    # warmup / compile (twice: the staged decoder adapts its stage plan to
+    # the observed iteration distribution after the first call)
     t0 = time.perf_counter()
     out = jax.block_until_ready(dec(llr_cha, llr_msg))
-    print(f"# compile+first run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    out = jax.block_until_ready(dec(llr_cha, llr_msg))
+    print(f"# compile+first runs {time.perf_counter() - t0:.1f}s "
+          f"(stages: {getattr(dec, 'stage_iters', None)})", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(iters_timed):

@@ -41,22 +41,22 @@ class StagedLUTDecoder:
     """
 
     def __init__(self, codec: LUTCodec, early_exit: bool = True,
-                 first_stage_iters: int = 8):
+                 first_stage_iters: int = 8, adapt: bool = True):
         if not early_exit:
             raise ValueError("staged decoding requires early exit")
         self.codec = codec
+        self.adapt = adapt
         prefix_spec = build_arith_prefix_spec(codec)
-        s = prefix_spec.num_iters
+        self._max_prefix = prefix_spec.num_iters
+        s = self._max_prefix
         stage_lengths = []
         n = min(first_stage_iters, s)
         while n < s:
             stage_lengths.append(n)
             n *= 4
         stage_lengths.append(s)
-        self.stages = []
-        for n in stage_lengths:
-            spec = build_arith_prefix_spec(codec, max_prefix=n)
-            self.stages.append(ArithLUTDecoder(codec, early_exit=True, spec=spec))
+        self._stage_cache: dict[int, ArithLUTDecoder] = {}
+        self.stage_iters = stage_lengths
         # final full decoder for frames not converged within the prefix
         try:
             full_spec = build_arith_spec(codec)
@@ -65,7 +65,44 @@ class StagedLUTDecoder:
             from .fast_decoder import FastLUTDecoder
 
             self.full = FastLUTDecoder(codec, early_exit=True)
-        self.stage_iters = stage_lengths
+        # adaptation state: per-frame iteration counts observed so far
+        self._iters_seen: list[np.ndarray] = []
+
+    def _stage(self, n: int) -> ArithLUTDecoder:
+        if n not in self._stage_cache:
+            spec = build_arith_prefix_spec(self.codec, max_prefix=n)
+            self._stage_cache[n] = ArithLUTDecoder(
+                self.codec, early_exit=True, spec=spec
+            )
+        return self._stage_cache[n]
+
+    @property
+    def stages(self):
+        return [self._stage(n) for n in self.stage_iters]
+
+    def _adapt_plan(self, iters: np.ndarray, done: np.ndarray):
+        """Re-plan stage lengths from the observed iteration distribution.
+
+        The convergence distribution is often narrow (e.g. no frame finishes
+        before iteration 13 at a typical operating point), so a fixed short
+        first stage can be pure overhead.  Choose the smallest prefix
+        covering ~99.5% of observed frames, rounded up to a multiple of 4
+        (bounded compile-cache churn)."""
+        if not self.adapt:
+            return
+        self._iters_seen.append(iters[done])
+        seen = np.concatenate(self._iters_seen)
+        if len(seen) < 64:
+            return
+        if len(self._iters_seen) > 64:  # bound memory, keep recent history
+            self._iters_seen = [seen[-65536:]]
+        p = float(np.percentile(seen, 99.5)) + 1
+        t1 = min(self._max_prefix, int(4 * np.ceil(p / 4)))
+        plan = [t1]
+        if t1 < self._max_prefix:
+            plan.append(self._max_prefix)
+        if plan != self.stage_iters:
+            self.stage_iters = plan
 
     # ------------------------------------------------------------------
     def __call__(self, llr_cha, llr_msg):
@@ -101,6 +138,7 @@ class StagedLUTDecoder:
             rel_left = np.nonzero(~done_np)[0]
             remaining = remaining[~done_np]
             if len(remaining) == 0:
+                self._adapt_plan(np.asarray(iters), np.asarray(ok))
                 return bits, ok, iters
             P = _pad_size(len(remaining))
             idxp = jnp.asarray(np.resize(rel_left, P))  # wrap-pad survivors
@@ -112,6 +150,7 @@ class StagedLUTDecoder:
         bits, ok, iters = scatter(
             bits, ok, iters, b, okf, it, np.arange(n), remaining
         )
+        self._adapt_plan(np.asarray(iters), np.asarray(ok))
         return bits, ok, iters
 
 
