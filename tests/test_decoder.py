@@ -180,3 +180,24 @@ def test_encode_decode_roundtrip(small_codec):
     bits = np.asarray(bits)
     assert np.asarray(ok).all()
     assert np.array_equal(bits[:, : codec.k], u)
+
+
+def test_initial_message_mode_qcha(small_codec):
+    """QCHA initial messages (channel labels relabeled through the MI map)
+    decode correctly and match the scalar golden model."""
+    import copy
+
+    codec = copy.copy(small_codec)
+    codec.initial_message_mode = "qcha"
+    from lut_ldpc_tpu.decoder import make_decoder
+
+    dec = make_decoder(codec)
+    llr = _random_llr(codec, 8, seed=21, snr_db=4.0)
+    llr_cha, llr_msg = codec.quantize_channel(llr)
+    # qcha: llr_msg derives from llr_cha through the map
+    assert np.array_equal(llr_msg, codec.cha2msg_map[llr_cha])
+    bits, ok, iters = dec(llr_cha, llr_msg)
+    for b in range(4):
+        want, want_it = codec.decode_ref(llr_cha[b], llr_msg[b])
+        assert np.array_equal(np.asarray(bits)[b], want)
+        assert int(np.asarray(iters)[b]) == abs(want_it)
