@@ -71,9 +71,6 @@ def nudged_llr(p: np.ndarray, tiny: float = 1e-6) -> np.ndarray:
     return v
 
 
-TIE_EPS = np.float32(1e-12)
-
-
 @dataclass(frozen=True)
 class ArithOpSpec:
     """One tree node: sum operand values, emit piecewise-constant output.
@@ -81,18 +78,21 @@ class ArithOpSpec:
     operands: slots into the evaluation value list (leaves in DFS order
     first, then op outputs).  Output = levels[#thresholds crossed], emitted
     via a sequential select chain so values are exact (no accumulation
-    error); thresholds has length K-1 (+inf for unreachable upper levels).
+    error); thresholds has length K-1 (dtype-max for unreachable upper
+    levels).  Works in float32 or int16 (scaled-integer values).
 
     Zero-sum tie-break: input combinations whose values cancel exactly
     (mirror pairs through antisymmetric tables) are split by the design's
     stable sort on the joint label index — equivalently by the sign of the
-    most-significant child's value — so a sum of exactly 0.0 is replaced by
-    TIE_EPS * (last operand's value).  Exactness is validated exhaustively.
+    most-significant child's value — so a sum of exactly 0 emits tie_lo
+    (last operand negative) or tie_hi.  Exactness is validated exhaustively.
     """
 
     operands: tuple
-    thresholds: np.ndarray  # (K-1,) float32
-    levels: np.ndarray  # (K,) float32 emitted values per output label
+    thresholds: np.ndarray  # (K-1,) work dtype
+    levels: np.ndarray  # (K,) work dtype: emitted values per output label
+    tie_lo: float  # emitted at sum==0 with last operand < 0
+    tie_hi: float  # emitted at sum==0 with last operand > 0
 
 
 @dataclass(frozen=True)
@@ -104,16 +104,19 @@ class ArithTreeSpec:
         return (self.num_inputs, tuple(op.operands for op in self.ops))
 
     def eval_np(self, x: np.ndarray) -> np.ndarray:
-        """x (..., num_inputs) float32 -> (...,) float32 root output value."""
-        vals = [x[..., i].astype(np.float32) for i in range(self.num_inputs)]
+        """x (..., num_inputs) in the work dtype -> (...,) root output."""
+        dt = self.ops[0].levels.dtype
+        wide = np.int64 if np.issubdtype(dt, np.integer) else dt
+        vals = [x[..., i].astype(wide) for i in range(self.num_inputs)]
         for op in self.ops:
             s = vals[op.operands[0]]
             for sl in op.operands[1:]:
                 s = s + vals[sl]
-            s = np.where(s == 0.0, TIE_EPS * vals[op.operands[-1]], s)
-            out = np.full(s.shape, op.levels[0], dtype=np.float32)
+            out = np.full(s.shape, op.levels[0], dtype=wide)
             for k in range(len(op.thresholds)):
                 out = np.where(s >= op.thresholds[k], op.levels[k + 1], out)
+            tie = np.where(vals[op.operands[-1]] < 0, op.tie_lo, op.tie_hi)
+            out = np.where(s == 0, tie.astype(wide), out)
             vals.append(out)
         return vals[-1]
 
@@ -134,10 +137,11 @@ class ArithSpec:
 
     var_trees: list
     dec_trees: list | None
-    leaf_msg0: np.ndarray  # (Nq,) float32
-    leaf_cha: np.ndarray  # (Nq_Cha,) float32
+    leaf_msg0: np.ndarray  # (Nq,) work dtype
+    leaf_cha: np.ndarray  # (Nq_Cha,) work dtype
     degrees: list  # VN degrees, index-aligned with the tree lists
     num_iters: int = 0
+    dtype: object = np.float32  # message/value dtype (float32 or int16)
 
     def __post_init__(self):
         if not self.num_iters:
@@ -148,9 +152,11 @@ class ArithBuildError(ValueError):
     pass
 
 
-def _tree_values(node, leaf_msg, leaf_cha):
-    """Post-order walk computing each node's input value tables; returns
-    (child_value_tables, node) pairs in topological order plus leaf count."""
+def _tree_values(node, leaf_msg, leaf_cha, convert):
+    """Post-order walk computing each node's input value tables (through
+    `convert`, which maps f64 LLR tables to the work dtype); returns
+    (node, slots, child_tables) triples in topological order plus leaf
+    count."""
     from ..core.trees import CHA, MSG
 
     ops = []
@@ -172,16 +178,19 @@ def _tree_values(node, leaf_msg, leaf_cha):
         slots = tuple(p[0] for p in pairs)
         tables = [p[1] for p in pairs]
         ops.append((n, slots, tables))
-        out_table = nudged_llr(n.p)
+        out_table = convert(nudged_llr(n.p))
         return num_leaves + len(ops) - 1, out_table
 
     _, root_table = rec(node)
     return ops, leaf_count, root_table
 
 
-def _op_spec(node, slots, child_tables, out_values) -> ArithOpSpec:
+def _op_spec(node, slots, child_tables, out_values, work_dtype) -> ArithOpSpec:
     """Derive thresholds for one node and validate exhaustively against its
-    integer LUT (float32, runtime accumulation order)."""
+    integer LUT in the runtime's arithmetic (float32 chained adds, or exact
+    integer adds range-checked against int16)."""
+    is_int = np.issubdtype(np.dtype(work_dtype), np.integer)
+    wide = np.int64 if is_int else np.float32
     ks = [len(t) for t in child_tables]
     L = int(np.prod(ks))
     K = node.K
@@ -190,44 +199,47 @@ def _op_spec(node, slots, child_tables, out_values) -> ArithOpSpec:
     table = _var_full_table(np.asarray(node.Q), L, K).astype(np.int64)
 
     # joint sums indexed by label = l_0 + K0*l_1 + ... (child 0 least
-    # significant, same convention as the LUT tables); float32 to match the
-    # runtime's arithmetic exactly
-    s = np.zeros(1, dtype=np.float32)
+    # significant, same convention as the LUT tables); dtype mirrors the
+    # runtime arithmetic exactly
+    s = np.zeros(1, dtype=wide)
     for t in child_tables:
-        s = (t.astype(np.float32)[:, None] + s[None, :]).reshape(-1)
-    # zero-sum tie-break by the most-significant child's value (the design's
-    # stable index sort splits exact-zero-LLR joint labels by index half)
-    last = child_tables[-1].astype(np.float32)
-    tie = np.repeat(last, L // ks[-1])
-    s = np.where(s == 0.0, TIE_EPS * tie, s)
+        s = (t.astype(wide)[:, None] + s[None, :]).reshape(-1)
+    if is_int and np.abs(s).max() > 32600:
+        raise ArithBuildError("int16 sum range exceeded")
 
-    order = np.argsort(s, kind="stable")
-    out_sorted = table[order]
-    s_sorted = s[order]
-    # monotone along sorted sums; equal sums must share a level
-    if np.any(np.diff(out_sorted) < 0):
-        bad = np.diff(out_sorted) < 0
-        if np.any(s_sorted[1:][bad] > s_sorted[:-1][bad]):
-            raise ArithBuildError("LUT not monotone in value sums")
-        # ties with differing outputs
-        raise ArithBuildError("tied sums map to different output labels")
-
-    thr = np.full(K - 1, np.inf, dtype=np.float32)
-    for k in range(1, K):
-        ge = s[table >= k]
-        if len(ge):
-            thr[k - 1] = ge.min()
-
-    out_values = np.asarray(out_values, dtype=np.float32)
+    # zero-sum ties resolve by the most-significant child's value sign (the
+    # design's stable index sort splits exact-zero-LLR joint labels by
+    # index half); those combos get the explicit tie outputs
+    last = child_tables[-1].astype(wide)
+    tie_val = np.repeat(last, L // ks[-1])
+    if is_int and np.any(last == 0):
+        raise ArithBuildError("zero entry in integer value table")
+    zero = s == 0
+    out_values = np.asarray(out_values, dtype=work_dtype)
     if len(out_values) != K:
         raise ArithBuildError("output value table length mismatch")
+    lo_set = np.unique(table[zero & (tie_val < 0)])
+    hi_set = np.unique(table[zero & (tie_val > 0)])
+    if len(lo_set) > 1 or len(hi_set) > 1:
+        raise ArithBuildError("zero-sum ties map to multiple output labels")
+    tie_lo = out_values[lo_set[0]] if len(lo_set) else out_values[0]
+    tie_hi = out_values[hi_set[0]] if len(hi_set) else out_values[0]
 
-    spec = ArithOpSpec(slots, thr, out_values)
-    # exhaustive validation: piecewise level == table level for all combos
+    nz = ~zero
+    thr_inf = np.asarray(32767 if is_int else np.inf, dtype=work_dtype)
+    thr = np.full(K - 1, thr_inf, dtype=work_dtype)
+    for k in range(1, K):
+        ge = s[nz & (table >= k)]
+        if len(ge):
+            thr[k - 1] = ge.min().astype(work_dtype)
+
+    spec = ArithOpSpec(slots, thr, out_values, float(tie_lo), float(tie_hi))
+    # exhaustive validation: piecewise level == table level for all
+    # non-tie combos (tie combos validated through lo/hi above)
     lvl = np.zeros(L, dtype=np.int64)
     for k in range(K - 1):
-        lvl += (s >= thr[k]).astype(np.int64)
-    if not np.array_equal(lvl, table):
+        lvl += (s >= thr[k].astype(wide)).astype(np.int64)
+    if not np.array_equal(lvl[nz], table[nz]):
         raise ArithBuildError("arithmetic form does not reproduce the LUT")
     return spec
 
@@ -242,7 +254,8 @@ def _dfs_leaf_types(node, out):
     return out
 
 
-def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values) -> ArithTreeSpec:
+def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values,
+                     convert, work_dtype) -> ArithTreeSpec:
     from ..core.trees import CHA, MSG
 
     # the runtime feeds the channel value into the LAST queue slot
@@ -251,13 +264,60 @@ def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values) -> ArithTreeSpec
     types = _dfs_leaf_types(tree.root, [])
     if types[-1] != CHA or any(t != MSG for t in types[:-1]):
         raise ArithBuildError("channel leaf must be the last DFS leaf")
-    ops_raw, num_inputs, _ = _tree_values(tree.root, leaf_msg, leaf_cha)
+    ops_raw, num_inputs, _ = _tree_values(tree.root, leaf_msg, leaf_cha, convert)
     specs = []
     for i, (node, slots, tables) in enumerate(ops_raw):
         is_root = i == len(ops_raw) - 1
-        out_vals = root_out_values if is_root else nudged_llr(node.p)[: node.K]
-        specs.append(_op_spec(node, slots, tables, out_vals))
+        out_vals = (root_out_values if is_root
+                    else convert(nudged_llr(node.p))[: node.K])
+        specs.append(_op_spec(node, slots, tables, out_vals, work_dtype))
     return ArithTreeSpec(num_inputs=num_inputs, ops=tuple(specs))
+
+
+def _int_table(v: np.ndarray, scale: float) -> np.ndarray:
+    """Round a f64 LLR table to scaled int16 grid, keeping antisymmetry and
+    zero-freeness (zeros nudged to +-1 by label half)."""
+    K = len(v)
+    q = np.round(np.asarray(v, dtype=np.float64) * scale)
+    q = 0.5 * (q - q[::-1])  # exact antisymmetry (halves stay integral or .5)
+    q = np.trunc(q) + np.sign(q) * (np.abs(q - np.trunc(q)) >= 0.5)
+    z = q == 0
+    half = np.arange(K) >= K // 2
+    q[z] = np.where(half[z], 1.0, -1.0)
+    if np.abs(q).max() > 32600:
+        raise ArithBuildError("int16 table range exceeded")
+    return q.astype(np.int16)
+
+
+def _int_repair(q: np.ndarray) -> np.ndarray:
+    """Strict magnitude monotonicity for an int16 message value table."""
+    q = q.astype(np.int64).copy()
+    K = len(q)
+    nz = K // 2
+    up = q[nz:]
+    prev = max(int(up[0]), 1)
+    up[0] = prev
+    for i in range(1, len(up)):
+        if up[i] <= prev:
+            up[i] = prev + 1
+        prev = int(up[i])
+    q[nz:] = up
+    q[:nz] = -up[::-1]
+    if np.abs(q).max() > 32600:
+        raise ArithBuildError("int16 repair exceeded range")
+    return q.astype(np.int16)
+
+
+def _dtype_ctx(dtype, leaf_tables_f64):
+    """(convert fn, work dtype, converted leaf tables) for a value dtype."""
+    if np.dtype(dtype) == np.int16:
+        maxv = max(float(np.abs(t).max()) for t in leaf_tables_f64)
+        scale = 32000.0 / (4.0 * maxv)
+        convert = lambda v: _int_table(v, scale)
+        leaves = [_int_repair(_int_table(t, scale)) for t in leaf_tables_f64]
+        return convert, np.int16, leaves
+    convert = lambda v: np.asarray(v, dtype=np.float32)
+    return convert, np.float32, [t.astype(np.float32) for t in leaf_tables_f64]
 
 
 def repair_monotone(v: np.ndarray) -> np.ndarray:
@@ -298,7 +358,24 @@ def _check_minsum_table(v: np.ndarray):
         raise ArithBuildError("value table not antisymmetric")
 
 
-def build_arith_spec(codec: LUTCodec) -> ArithSpec:
+def _leaf_tables(codec, dtype):
+    """(convert, work_dtype, leaf_msg list, leaf_cha) in the work dtype."""
+    T = codec.max_iters
+    leaf_cha_f64 = nudged_llr(codec.pmf_cha_design)
+    # leaf value tables per iteration (messages entering iteration ii);
+    # repaired to strict magnitude monotonicity (exactness still verified
+    # per node against the integer LUTs)
+    leaf_msg_f64 = [
+        repair_monotone(nudged_llr(codec.pmf_chk2var_trace[ii]))
+        for ii in range(T)
+    ]
+    convert, work_dtype, converted = _dtype_ctx(
+        dtype, leaf_msg_f64 + [leaf_cha_f64]
+    )
+    return convert, work_dtype, converted[:-1], converted[-1]
+
+
+def build_arith_spec(codec: LUTCodec, dtype=np.float32) -> ArithSpec:
     """Replay the design per iteration and compile the arithmetic decoder
     spec.  Raises ArithBuildError when the codec cannot be represented
     exactly (caller falls back to the table decoder)."""
@@ -312,30 +389,26 @@ def build_arith_spec(codec: LUTCodec) -> ArithSpec:
     if len(set(int(x) for x in codec.Nq_Msg)) != 1:
         raise ArithBuildError("arith decoder needs uniform Nq_Msg")
 
-    leaf_cha = nudged_llr(codec.pmf_cha_design).astype(np.float32)
-    # leaf value tables per iteration (messages entering iteration ii);
-    # repaired to strict magnitude monotonicity (exactness still verified
-    # per node against the integer LUTs)
-    leaf_msg = [
-        repair_monotone(nudged_llr(codec.pmf_chk2var_trace[ii])).astype(np.float32)
-        for ii in range(T)
-    ]
+    convert, work_dtype, leaf_msg, leaf_cha = _leaf_tables(codec, dtype)
     for v in leaf_msg:
         _check_minsum_table(v)
 
     degrees = [int(d) for d in codec.var_tree_degrees]
-    var_specs = _build_var_specs(codec, degrees, leaf_msg, leaf_cha, T - 1)
+    var_specs = _build_var_specs(
+        codec, degrees, leaf_msg, leaf_cha, T - 1, convert, work_dtype
+    )
 
     dec_specs = []
     # decision output convention: value < 0 <=> label < nz <=> bit 1,
     # so label 0 (bit 1) emits -1 and label 1 (bit 0) emits +1
-    bit_out = np.array([-1.0, 1.0], dtype=np.float32)
+    bit_out = np.array([-1, 1], dtype=work_dtype)
     for di, d in enumerate(degrees):
         tree = codec.var_tree(T - 1, d).copy()  # DECTREE, d+1 leaves
         tree.set_leaves(codec.pmf_chk2var_trace[T - 1], codec.pmf_cha_design)
         tree.update(reuse=True)
         dec_specs.append(
-            _build_tree_spec(tree, leaf_msg[T - 1], leaf_cha, bit_out)
+            _build_tree_spec(tree, leaf_msg[T - 1], leaf_cha, bit_out,
+                             convert, work_dtype)
         )
 
     # initial messages: labels quantized under qb_Msg -> values of iteration 0
@@ -345,23 +418,27 @@ def build_arith_spec(codec: LUTCodec) -> ArithSpec:
         leaf_msg0=leaf_msg[0],
         leaf_cha=leaf_cha,
         degrees=degrees,
+        dtype=work_dtype,
     )
 
 
-def _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii):
+def _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii, convert, work_dtype):
     row = []
     for d in degrees:
         tree = codec.var_tree(ii, d).copy()
         tree.set_leaves(codec.pmf_chk2var_trace[ii], codec.pmf_cha_design)
         tree.update(reuse=True)  # recompute node pmfs under the fixed LUTs
-        row.append(_build_tree_spec(tree, leaf_msg[ii], leaf_cha, leaf_msg[ii + 1]))
+        row.append(_build_tree_spec(tree, leaf_msg[ii], leaf_cha,
+                                    leaf_msg[ii + 1], convert, work_dtype))
     return row
 
 
-def _build_var_specs(codec, degrees, leaf_msg, leaf_cha, num_iters):
+def _build_var_specs(codec, degrees, leaf_msg, leaf_cha, num_iters,
+                     convert, work_dtype):
     var_specs = []
     for ii in range(num_iters):
-        row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii)
+        row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii,
+                             convert, work_dtype)
         # all iterations must share op structure for the scan path
         if var_specs:
             for a, b in zip(var_specs[0], row):
@@ -371,7 +448,8 @@ def _build_var_specs(codec, degrees, leaf_msg, leaf_cha, num_iters):
     return var_specs
 
 
-def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None) -> ArithSpec:
+def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None,
+                            dtype=np.float32) -> ArithSpec:
     """Largest valid arithmetic prefix of the decoder.
 
     Builds VN iterations 0, 1, ... until one fails validation (late DE
@@ -390,11 +468,7 @@ def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None) -> A
     if len(set(int(x) for x in codec.Nq_Msg)) != 1:
         raise ArithBuildError("arith decoder needs uniform Nq_Msg")
 
-    leaf_cha = nudged_llr(codec.pmf_cha_design).astype(np.float32)
-    leaf_msg = [
-        repair_monotone(nudged_llr(codec.pmf_chk2var_trace[ii])).astype(np.float32)
-        for ii in range(T)
-    ]
+    convert, work_dtype, leaf_msg, leaf_cha = _leaf_tables(codec, dtype)
     degrees = [int(d) for d in codec.var_tree_degrees]
 
     limit = T - 1 if max_prefix is None else min(max_prefix, T - 1)
@@ -402,7 +476,8 @@ def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None) -> A
     for s in range(limit):
         try:
             _check_minsum_table(leaf_msg[s])  # CN at iteration s needs this
-            row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, s)
+            row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, s,
+                                 convert, work_dtype)
         except ArithBuildError:
             break
         if var_specs and any(
@@ -419,4 +494,5 @@ def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None) -> A
         leaf_msg0=leaf_msg[0],
         leaf_cha=leaf_cha,
         degrees=degrees,
+        dtype=work_dtype,
     )

@@ -53,6 +53,8 @@ class ArithLUTDecoder:
         self.T = codec.max_iters
         self.S = self.spec.num_iters  # VN iterations covered by the scan
         self.nvar = codec.graph.nvar
+        self._dtype_np = np.dtype(self.spec.dtype)
+        self._dtype = jnp.dtype(self._dtype_np)
         self.layout = GroupedLayout(codec.graph, slot_major=True)
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
             raise ValueError("arith spec degrees do not match graph blocks")
@@ -81,14 +83,24 @@ class ArithLUTDecoder:
             ops_xs = []
             if S > 0:
                 for oi in range(len(tree0.ops)):
+                    dt = self._dtype_np
                     thr = np.stack(
                         [self.spec.var_trees[ii][bi].ops[oi].thresholds for ii in range(S)]
                     )
                     levels = np.stack(
                         [self.spec.var_trees[ii][bi].ops[oi].levels for ii in range(S)]
                     )
+                    tie_lo = np.array(
+                        [self.spec.var_trees[ii][bi].ops[oi].tie_lo for ii in range(S)],
+                        dtype=dt,
+                    )
+                    tie_hi = np.array(
+                        [self.spec.var_trees[ii][bi].ops[oi].tie_hi for ii in range(S)],
+                        dtype=dt,
+                    )
                     ops_xs.append(
-                        dict(thr=jnp.asarray(thr), levels=jnp.asarray(levels))
+                        dict(thr=jnp.asarray(thr), levels=jnp.asarray(levels),
+                             tie_lo=jnp.asarray(tie_lo), tie_hi=jnp.asarray(tie_hi))
                     )
             self._var_xs.append(ops_xs)
         self._dec_specs = self.spec.dec_trees
@@ -122,7 +134,11 @@ class ArithLUTDecoder:
         d = m.shape[0]
         neg = m < 0
         mag = jnp.abs(m)
-        INF = jnp.asarray(np.inf, m.dtype)
+        INF = jnp.asarray(
+            np.iinfo(m.dtype).max if jnp.issubdtype(m.dtype, jnp.integer)
+            else np.inf,
+            m.dtype,
+        )
         pre = [jnp.full(m.shape[1:], INF, m.dtype)]
         for j in range(d - 1):
             pre.append(jnp.minimum(pre[-1], mag[j]))
@@ -136,28 +152,30 @@ class ArithLUTDecoder:
 
     def _eval_tree(self, struct, x_vals, op_params):
         """x_vals: list of leaf value arrays (DFS order), each (..., B).
-        op_params: per-op dict with 'thr' (K-1,), 'levels' (K,) for ONE
-        iteration (already sliced).  Returns root output values."""
-        from .arith import TIE_EPS
-
+        op_params: per-op dict with 'thr' (K-1,), 'levels' (K,), 'tie_lo',
+        'tie_hi' for ONE iteration (already sliced).  Returns root output
+        values.  Zero sums emit the explicit tie outputs (selected by the
+        sign of the most-significant operand)."""
+        dt = self._dtype
         vals = list(x_vals)
         for op, prm in zip(struct.ops, op_params):
             s = vals[op.operands[0]]
             for sl in op.operands[1:]:
                 s = s + vals[sl]
-            s = jnp.where(s == 0.0, TIE_EPS * vals[op.operands[-1]], s)
-            out = jnp.broadcast_to(prm["levels"][..., 0], s.shape).astype(jnp.float32)
+            out = jnp.broadcast_to(prm["levels"][..., 0], s.shape).astype(dt)
             nthr = prm["thr"].shape[-1]
             for k in range(nthr):
                 out = jnp.where(s >= prm["thr"][..., k], prm["levels"][..., k + 1], out)
+            tie = jnp.where(vals[op.operands[-1]] < 0, prm["tie_lo"], prm["tie_hi"])
+            out = jnp.where(s == 0, tie.astype(dt), out)
             vals.append(out)
         return vals[-1]
 
     def _select_values(self, labels, table):
         """labels (..., ) int32 -> values via dense 16-way select."""
-        v = jnp.zeros(labels.shape, jnp.float32)
+        v = jnp.zeros(labels.shape, self._dtype)
         for k in range(table.shape[0]):
-            v = v + jnp.where(labels == k, table[k], 0.0)
+            v = jnp.where(labels == k, table[k], v)
         return v
 
     # ------------------------------------------------------------------
@@ -282,7 +300,9 @@ class ArithLUTDecoder:
                 x_vals = [m[j] for j in range(d)] + [cha_blocks[bi]]
                 prm = [
                     dict(thr=jnp.asarray(op.thresholds),
-                         levels=jnp.asarray(op.levels))
+                         levels=jnp.asarray(op.levels),
+                         tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
+                         tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)))
                     for op in spec.ops
                 ]
                 out = self._eval_tree(spec, x_vals, prm)  # (n, B)

@@ -47,12 +47,17 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
     Tries, in order: the arithmetic value-domain decoder (exactness proven
     at build time), the table-based scan decoder, the general unrolled
     decoder.  All three are bit-identical where they apply."""
-    try:
-        from .arith_decoder import ArithLUTDecoder
+    import numpy as np
 
-        return ArithLUTDecoder(codec, early_exit=early_exit)
-    except ValueError:
-        pass
+    from .arith import build_arith_spec
+    from .arith_decoder import ArithLUTDecoder
+
+    for dt in (np.int16, np.float32):  # int16 halves traffic when exact
+        try:
+            spec = build_arith_spec(codec, dtype=dt)
+            return ArithLUTDecoder(codec, early_exit=early_exit, spec=spec)
+        except ValueError:
+            pass
     if _supports_fast(codec):
         try:
             return FastLUTDecoder(codec, early_exit=early_exit)

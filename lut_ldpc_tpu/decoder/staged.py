@@ -46,7 +46,20 @@ class StagedLUTDecoder:
             raise ValueError("staged decoding requires early exit")
         self.codec = codec
         self.adapt = adapt
-        prefix_spec = build_arith_prefix_spec(codec)
+        # prefer int16 values (half the gather traffic) when the integer
+        # representation validates for at least as long a prefix
+        spec16 = None
+        try:
+            spec16 = build_arith_prefix_spec(codec, dtype=np.int16)
+        except (ArithBuildError, ValueError):
+            pass
+        spec32 = build_arith_prefix_spec(codec, dtype=np.float32)
+        if spec16 is not None and spec16.num_iters >= spec32.num_iters:
+            self._dtype = np.int16
+            prefix_spec = spec16
+        else:
+            self._dtype = np.float32
+            prefix_spec = spec32
         self._max_prefix = prefix_spec.num_iters
         s = self._max_prefix
         stage_lengths = []
@@ -58,10 +71,15 @@ class StagedLUTDecoder:
         self._stage_cache: dict[int, ArithLUTDecoder] = {}
         self.stage_iters = stage_lengths
         # final full decoder for frames not converged within the prefix
-        try:
-            full_spec = build_arith_spec(codec)
-            self.full = ArithLUTDecoder(codec, early_exit=True, spec=full_spec)
-        except (ArithBuildError, ValueError):
+        self.full = None
+        for dt in (self._dtype, np.float32):
+            try:
+                full_spec = build_arith_spec(codec, dtype=dt)
+                self.full = ArithLUTDecoder(codec, early_exit=True, spec=full_spec)
+                break
+            except (ArithBuildError, ValueError):
+                pass
+        if self.full is None:
             from .fast_decoder import FastLUTDecoder
 
             self.full = FastLUTDecoder(codec, early_exit=True)
@@ -70,7 +88,9 @@ class StagedLUTDecoder:
 
     def _stage(self, n: int) -> ArithLUTDecoder:
         if n not in self._stage_cache:
-            spec = build_arith_prefix_spec(self.codec, max_prefix=n)
+            spec = build_arith_prefix_spec(
+                self.codec, max_prefix=n, dtype=self._dtype
+            )
             self._stage_cache[n] = ArithLUTDecoder(
                 self.codec, early_exit=True, spec=spec
             )

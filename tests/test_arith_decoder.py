@@ -105,3 +105,30 @@ def test_arith_roundtrip_artifact(tmp_path, codec_reg):
     b1, _, _ = ArithLUTDecoder(codec_reg)(llr_cha, llr_msg)
     b2, _, _ = ArithLUTDecoder(codec2)(llr_cha, llr_msg)
     assert np.array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_int16_matches_float32(codec_reg):
+    """The scaled-integer representation is bit-identical when it builds."""
+    spec16 = build_arith_spec(codec_reg, dtype=np.int16)
+    spec32 = build_arith_spec(codec_reg, dtype=np.float32)
+    assert spec16.dtype == np.int16
+    d16 = ArithLUTDecoder(codec_reg, spec=spec16)
+    d32 = ArithLUTDecoder(codec_reg, spec=spec32)
+    for snr in (1.0, 2.5, 5.0):
+        llr_cha, llr_msg = _llrs(codec_reg, 32, 7, snr=snr)
+        b1, ok1, i1 = d16(llr_cha, llr_msg)
+        b2, ok2, i2 = d32(llr_cha, llr_msg)
+        assert np.array_equal(np.asarray(b1), np.asarray(b2))
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        assert np.array_equal(np.asarray(ok1), np.asarray(ok2))
+
+
+def test_int16_matches_table_decoder(codec_reg):
+    spec16 = build_arith_spec(codec_reg, dtype=np.int16)
+    d16 = ArithLUTDecoder(codec_reg, spec=spec16)
+    full = FastLUTDecoder(codec_reg)
+    llr_cha, llr_msg = _llrs(codec_reg, 48, 9, snr=2.0)
+    b1, _, i1 = d16(llr_cha, llr_msg)
+    b2, _, i2 = full(llr_cha, llr_msg)
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
