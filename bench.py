@@ -63,7 +63,7 @@ def main():
     from lut_ldpc_tpu.decoder import make_staged_decoder
     from lut_ldpc_tpu.ops.pmf import snr2sig
 
-    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
     iters_timed = int(os.environ.get("BENCH_REPS", "5"))
 
     t0 = time.perf_counter()

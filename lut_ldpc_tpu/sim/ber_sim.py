@@ -264,6 +264,12 @@ class BERSim:
             with open(checkpoint_path + ".state", "w") as f:
                 json.dump({"ss": ss, "bb": bb}, f)
 
+        # optional jax profiler capture (LUT_PROFILE_DIR=<dir> writes the
+        # sweep's device trace for xprof/tensorboard; use a small config)
+        profile_dir = os.environ.get("LUT_PROFILE_DIR")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+
         t0 = time.perf_counter()
         skip_rest = False
         for ss, snr in enumerate(snr_db):
@@ -302,6 +308,8 @@ class BERSim:
             if ber < cfg.ber_min or fer < cfg.fer_min:
                 skip_rest = True
         results.runtime = time.perf_counter() - t0
+        if profile_dir:
+            jax.profiler.stop_trace()
         return results
 
 
