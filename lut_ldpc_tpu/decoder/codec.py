@@ -78,13 +78,8 @@ class LUTCodec:
             )
         else:
             self.chk_tree_degrees = np.zeros(0, dtype=np.int64)
-        if self.nchk_lin_indep < 0:
-            from ..core.gf2 import gf2_rank
-
-            if self.graph.nvar < 1e5:
-                self.nchk_lin_indep = gf2_rank(self._dense_H())
-            else:
-                self.nchk_lin_indep = self.graph.nchk
+        # nchk_lin_indep stays -1 until first needed (the GF(2) rank of a
+        # DVB-S2-size H takes minutes; PEG-built codes are full rank anyway)
 
     # ------------------------------------------------------------------
     def _dense_H(self) -> np.ndarray:
@@ -102,9 +97,19 @@ class LUTCodec:
     def nchk(self) -> int:
         return self.graph.nchk
 
+    def _ensure_rank(self) -> None:
+        if self.nchk_lin_indep < 0:
+            from ..core.gf2 import gf2_rank
+
+            if self.graph.nvar < 1e5:
+                self.nchk_lin_indep = gf2_rank(self._dense_H())
+            else:
+                self.nchk_lin_indep = self.graph.nchk
+
     @property
     def k(self) -> int:
         """Number of systematic (information) bits."""
+        self._ensure_rank()
         return self.graph.nvar - self.nchk_lin_indep
 
     def rate(self) -> float:
@@ -448,6 +453,8 @@ class LUTCodec:
         lut_ldpc_vhdl hardware-generation flow.  Generator data is not
         included (G_defined = 0)."""
         from ..utils.itfile import ItBin, itsave
+
+        self._ensure_rank()  # the reference schema stores the true rank
 
         itsave(path, {
             "Fileversion": 1,
