@@ -147,3 +147,55 @@ def test_repo_assets_load():
     H = read_alist("codes/rate0.50_dv03_dc06_N1000.alist")
     assert H.shape == (500, 1000)
     assert (H.sum(axis=0) == 3).all()
+
+
+def test_de_sim_sweep_qbits(tmp_path):
+    """Sweep over qbits rows (one thread per resolution pair)."""
+    out = tmp_path / "thr_sweep.txt"
+    ini = tmp_path / "de_sweep.ini"
+    ini.write_text(f"""
+[Sim]
+thr_prec = 5e-3
+maxiter_de = 20
+results_name = {out}
+ensemble_filename = /root/repo/ensembles/rate0.50_dv03_dc06.ens
+
+[LUT]
+min_lut = true
+qbits = 3 3; 4 4
+tree_mode = auto_bin_balanced
+""")
+    from lut_ldpc_tpu.cli.de_sim import main
+
+    assert main(["-p", str(ini)]) == 0
+    text = out.read_text()
+    thrs = [float(x) for x in
+            text.split("Threshold(s) found = [")[1].split("]")[0].split()]
+    assert len(thrs) == 2
+    assert thrs[1] > thrs[0]  # 4-bit beats 3-bit
+
+
+def test_de_sim_sweep_reuse(tmp_path):
+    """Sweep over reuse_iter_vec values."""
+    out = tmp_path / "thr_reuse.txt"
+    ini = tmp_path / "de_reuse.ini"
+    ini.write_text(f"""
+[Sim]
+thr_prec = 5e-3
+maxiter_de = 20
+results_name = {out}
+ensemble_filename = /root/repo/ensembles/rate0.50_dv03_dc06.ens
+
+[LUT]
+min_lut = true
+qbits = 4 4
+reuse_iter_vec = 0 3
+tree_mode = auto_bin_balanced
+""")
+    from lut_ldpc_tpu.cli.de_sim import main
+
+    assert main(["-p", str(ini)]) == 0
+    thrs = [float(x) for x in
+            out.read_text().split("Threshold(s) found = [")[1].split("]")[0].split()]
+    assert len(thrs) == 2
+    assert thrs[0] >= thrs[1] - 5e-3  # reuse can only cost threshold
