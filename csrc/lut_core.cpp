@@ -44,6 +44,9 @@ int64_t sym_llr_sort_unique(const double* p_in, int64_t M_in, double llr_delta,
     const double a = std::log(p_in[m]);
     const double b = std::log(p_in[M_in - 1 - m]);
     llr[m] = a - b;
+    // NaN (both-zero mirror pair) would break stable_sort's strict weak
+    // ordering (UB); fail like the numpy fallback does
+    if (std::isnan(llr[m])) return -1;
   }
   std::vector<int64_t> idx(M_in);
   stable_argsort(llr, idx);

@@ -22,11 +22,7 @@ from lut_ldpc_tpu.core.peg import peg_code_from_ensemble
 
 
 def graph_to_H(graph):
-    H = np.zeros((graph.nchk, graph.nvar), dtype=np.uint8)
-    for d in graph.cn_degrees:
-        d = int(d)
-        H[graph.cn_node_idx[d][:, None], graph.cn_var_idx[d]] = 1
-    return H
+    return graph.to_dense()
 
 
 def main():

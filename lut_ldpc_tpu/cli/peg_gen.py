@@ -36,11 +36,7 @@ def main(argv=None) -> int:
     graph, lg = peg_code_from_ensemble(
         ens, args.M, args.N, args.sgl_concent, args.tgt_girth, args.seed
     )
-    H = np.zeros((graph.nchk, graph.nvar), dtype=np.uint8)
-    for d in graph.cn_degrees:
-        d = int(d)
-        H[graph.cn_node_idx[d][:, None], graph.cn_var_idx[d]] = 1
-    write_alist(args.alist, H)
+    write_alist(args.alist, graph.to_dense())
     finite = lg[lg > 0]
     girth = int(finite.min()) if len(finite) else -1
     print(f"Wrote {args.alist}: N={graph.nvar} M={graph.nchk} "

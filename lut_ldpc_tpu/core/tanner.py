@@ -111,6 +111,14 @@ class TannerGraph:
         return cls.from_cols(cols, nvar, nchk)
 
     # -- convenience ---------------------------------------------------------
+    def to_dense(self) -> np.ndarray:
+        """(nchk, nvar) uint8 parity-check matrix."""
+        H = np.zeros((self.nchk, self.nvar), dtype=np.uint8)
+        for d in self.cn_degrees:
+            d = int(d)
+            H[self.cn_node_idx[d][:, None], self.cn_var_idx[d]] = 1
+        return H
+
     def var_llr_edge_expand(self) -> np.ndarray:
         """(E,) int32: variable id owning each VN-major edge (for LLR gathers)."""
         return np.repeat(np.arange(self.nvar, dtype=np.int32), self.dv_vec)

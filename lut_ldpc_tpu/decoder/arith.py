@@ -465,6 +465,8 @@ def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None,
     if codec.pmf_cha_design is None or not codec.pmf_chk2var_trace:
         raise ArithBuildError("codec lacks design pmf snapshots")
     T = codec.max_iters
+    if len(codec.pmf_chk2var_trace) != T:
+        raise ArithBuildError("pmf trace length mismatch")
     if len(set(int(x) for x in codec.Nq_Msg)) != 1:
         raise ArithBuildError("arith decoder needs uniform Nq_Msg")
 

@@ -83,11 +83,7 @@ class LUTCodec:
 
     # ------------------------------------------------------------------
     def _dense_H(self) -> np.ndarray:
-        H = np.zeros((self.graph.nchk, self.graph.nvar), dtype=np.uint8)
-        for d in self.graph.cn_degrees:
-            d = int(d)
-            H[self.graph.cn_node_idx[d][:, None], self.graph.cn_var_idx[d]] = 1
-        return H
+        return self.graph.to_dense()
 
     @property
     def nvar(self) -> int:
@@ -158,10 +154,7 @@ class LUTCodec:
         gen_perm = gen_T = None
         nchk_lin_indep = -1
         if build_generator:
-            H = np.zeros((graph.nchk, graph.nvar), dtype=np.uint8)
-            for d in graph.cn_degrees:
-                d = int(d)
-                H[graph.cn_node_idx[d][:, None], graph.cn_var_idx[d]] = 1
+            H = graph.to_dense()
             perm, gen_T, rank = make_systematic_generator(H)
             graph = TannerGraph.from_dense(H[:, perm])
             gen_perm = perm
@@ -236,12 +229,16 @@ class LUTCodec:
     # scalar golden decoder (LDPC_Code_LUT.cpp:259-353)
     # ------------------------------------------------------------------
     def decode_ref(self, llr_cha: np.ndarray, llr_msg: np.ndarray, psc: bool = True,
-                   verbosity: int = 0, out=None):
+                   pisc: bool = False, verbosity: int = 0, out=None):
         """Single-frame scalar decode; returns (hard bits, iterations).
 
         Positive return = converged at that iteration, negative = failure
         after max_iters (reference return-code convention).  psc = per-
         iteration syndrome check / early exit (LDPC_Code_LUT `psc` flag).
+
+        pisc = syndrome check on the channel hard decisions before any
+        iteration (the reference's `pisc` flag, LDPC_Code_LUT.cpp:277-279;
+        default off, as in the reference).
 
         verbosity reproduces the reference's stimuli dumps for the VHDL
         hardware flow (LDPC_Code_LUT.cpp:228-238, 292-337): >0 prints the
@@ -287,6 +284,11 @@ class LUTCodec:
                     return None
                 b[v] = 1 if neg[0] else 0
             return b if syndrome_ok(b) else None
+
+        if pisc:
+            b0 = (llr_cha < self.Nq_Cha // 2).astype(np.uint8)
+            if syndrome_ok(b0):
+                return b0, 0
 
         if verbosity > 1:
             out.write("Initial VN-to-CN messages: \n" + hexline(msgs) + "\n")

@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 
 from .codec import LUTCodec
-from .fast_layout import GroupedLayout, compose_dec_table, composed_entries, var_tree_tables
+from .fast_layout import (
+    MAX_COMPOSED_ENTRIES,
+    GroupedLayout,
+    compose_dec_table,
+    composed_entries,
+    var_tree_tables,
+)
 from .layout import leave_one_out_idx, tree_program
 
 __all__ = ["FastLUTDecoder", "make_decoder"]
@@ -70,11 +76,15 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
 
 class FastLUTDecoder:
     def __init__(self, codec: LUTCodec, early_exit: bool = True,
-                 msg_dtype=jnp.int8):
+                 msg_dtype=None):
         if len(set(int(x) for x in codec.Nq_Msg)) != 1:
             raise ValueError("fast decoder needs uniform Nq_Msg")
         self.codec = codec
         self.early_exit = early_exit
+        if msg_dtype is None:
+            # labels must fit the storage dtype (8-bit quantizers need int16)
+            maxres = max(int(codec.Nq_Msg.max()), int(codec.Nq_Cha))
+            msg_dtype = jnp.int8 if maxres <= 127 else jnp.int16
         self.msg_dtype = msg_dtype
         self.Nq = int(codec.Nq_Msg[0])
         self.nz = self.Nq // 2
@@ -164,7 +174,7 @@ class FastLUTDecoder:
             d = blk.degree
             tree = codec.var_tree(T - 1, d)  # DECTREE, d+1 leaves
             prog = tree_program(tree)
-            if composed_entries(d, Nq, Nqc) <= (1 << 20):
+            if composed_entries(d, Nq, Nqc) <= MAX_COMPOSED_ENTRIES:
                 self._dec_kind.append("composed")
                 self._dec_tab.append(jnp.asarray(compose_dec_table(prog, d, Nq, Nqc)))
                 self._dec_progs.append(None)
@@ -213,23 +223,9 @@ class FastLUTDecoder:
         return out
 
     def _cn_minsum(self, m, nz):
-        """Leave-one-out magnitude mins via prefix/suffix (identical outputs
-        to the reference's min1/min2/argmin form — see lut_decoder.cn_minsum)."""
-        d = m.shape[-1]
-        neg = m < nz
-        mag = jnp.where(neg, nz - 1 - m, m - nz)
-        fill = jnp.full(m.shape[:-1], nz, dtype=mag.dtype)
-        pre = [fill]
-        for j in range(d - 1):
-            pre.append(jnp.minimum(pre[-1], mag[..., j]))
-        suf = [fill]
-        for j in range(d - 1, 0, -1):
-            suf.append(jnp.minimum(suf[-1], mag[..., j]))
-        suf = suf[::-1]
-        tmp = jnp.stack([jnp.minimum(pre[j], suf[j]) for j in range(d)], axis=-1)
-        sign_prod = (jnp.sum(neg, axis=-1, keepdims=True) & 1).astype(jnp.bool_)
-        sign_msg = sign_prod ^ neg
-        return jnp.where(sign_msg, nz - 1 - tmp, nz + tmp).astype(self.msg_dtype)
+        from .lut_decoder import cn_minsum
+
+        return cn_minsum(m, nz).astype(self.msg_dtype)
 
     def _run_program(self, prog, tables, x):
         vals = [x[..., i].astype(jnp.int32) for i in range(prog.num_inputs)]

@@ -150,6 +150,8 @@ def compose_var_loo_table(
     Entry at joint label (m_0 + Nq*m_1 + ... + Nq^{d-1}*m_{d-1} +
     Nq^d*cha) packs the d leave-one-out outputs, output i in bits
     [i*out_bits, (i+1)*out_bits).  dtype int32 (callers may narrow)."""
+    if d * out_bits > 31:
+        raise ValueError("compose_var_loo_table: packed width exceeds int32")
     n = composed_entries(d, Nq_msg, Nq_cha)
     inputs = _mixed_radix_digits(n, [Nq_msg] * d + [Nq_cha])
     loo = leave_one_out_idx(d + 1, d)
@@ -157,10 +159,6 @@ def compose_var_loo_table(
     for i in range(d):
         out = prog.eval_np(inputs[:, loo[i]]).astype(np.int64)
         packed |= out << (i * out_bits)
-    if d * out_bits > 62:
-        raise ValueError("compose_var_loo_table: packed width exceeds int64")
-    if d * out_bits > 31:
-        raise ValueError("compose_var_loo_table: packed width exceeds int32")
     return packed.astype(np.int32)
 
 

@@ -46,20 +46,20 @@ class StagedLUTDecoder:
             raise ValueError("staged decoding requires early exit")
         self.codec = codec
         self.adapt = adapt
-        # prefer int16 values (half the gather traffic) when the integer
-        # representation validates for at least as long a prefix
-        spec16 = None
+        # prefer int16 values (half the gather traffic); fall back to
+        # float32 when the integer representation does not validate or
+        # covers a much shorter prefix
+        prefix_spec = None
         try:
-            spec16 = build_arith_prefix_spec(codec, dtype=np.int16)
+            prefix_spec = build_arith_prefix_spec(codec, dtype=np.int16)
+            self._dtype = np.int16
         except (ArithBuildError, ValueError):
             pass
-        spec32 = build_arith_prefix_spec(codec, dtype=np.float32)
-        if spec16 is not None and spec16.num_iters >= spec32.num_iters:
-            self._dtype = np.int16
-            prefix_spec = spec16
-        else:
-            self._dtype = np.float32
-            prefix_spec = spec32
+        if prefix_spec is None or prefix_spec.num_iters < min(8, codec.max_iters - 1):
+            spec32 = build_arith_prefix_spec(codec, dtype=np.float32)
+            if prefix_spec is None or spec32.num_iters > prefix_spec.num_iters:
+                prefix_spec = spec32
+                self._dtype = np.float32
         self._max_prefix = prefix_spec.num_iters
         s = self._max_prefix
         stage_lengths = []
@@ -68,7 +68,10 @@ class StagedLUTDecoder:
             stage_lengths.append(n)
             n *= 4
         stage_lengths.append(s)
-        self._stage_cache: dict[int, ArithLUTDecoder] = {}
+        self._stage_cache: dict[int, ArithLUTDecoder] = {
+            self._max_prefix: ArithLUTDecoder(codec, early_exit=True,
+                                              spec=prefix_spec)
+        }
         self.stage_iters = stage_lengths
         # final full decoder for frames not converged within the prefix
         self.full = None
@@ -85,6 +88,20 @@ class StagedLUTDecoder:
             self.full = FastLUTDecoder(codec, early_exit=True)
         # adaptation state: per-frame iteration counts observed so far
         self._iters_seen: list[np.ndarray] = []
+        # cap per-call batch of later stages on big graphs: the table-decoder
+        # fallback materializes (d, n_d, d, B) leave-one-out intermediates,
+        # which can exhaust device memory at DVB-S2 sizes
+        # budget ~2 GB of intermediates per call: arith stages materialize
+        # ~E*max_deg int16 leave-one-out values per frame; the table-decoder
+        # fallback's footprint scales with sum(n_d * d^2) instead
+        g = codec.graph
+        max_deg = int(g.dv_vec.max())
+        self._max_pad = max(32, (1 << 30) // (g.num_edges * max_deg * 2))
+        loo_cost = sum(
+            int((g.dv_vec == d).sum()) * int(d) * int(d) * 8
+            for d in g.vn_degrees
+        )
+        self._max_pad_full = max(16, min(self._max_pad, (1 << 29) // loo_cost))
 
     def _stage(self, n: int) -> ArithLUTDecoder:
         if n not in self._stage_cache:
@@ -134,6 +151,12 @@ class StagedLUTDecoder:
         cur_cha = jnp.asarray(llr_cha, dtype=jnp.int32)
         cur_msg = jnp.asarray(llr_msg, dtype=jnp.int32)
         B, nvar = cur_cha.shape
+        if B > self._max_pad:
+            # big graphs: bound per-call device memory by chunking frames
+            outs = [self(cur_cha[lo : lo + self._max_pad],
+                         cur_msg[lo : lo + self._max_pad])
+                    for lo in range(0, B, self._max_pad)]
+            return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
         bits = jnp.zeros((B, nvar), dtype=jnp.uint8)
         ok = jnp.zeros((B,), dtype=bool)
         iters = jnp.full((B,), self.codec.max_iters, dtype=jnp.int32)
@@ -165,11 +188,18 @@ class StagedLUTDecoder:
             cur_cha = jnp.take(cur_cha, idxp, axis=0)
             cur_msg = jnp.take(cur_msg, idxp, axis=0)
 
-        b, okf, it = self.full._decode(cur_cha, cur_msg)
+        # final full decode, chunked to the big-graph batch cap
         n = len(remaining)
-        bits, ok, iters = scatter(
-            bits, ok, iters, b, okf, it, np.arange(n), remaining
-        )
+        for lo in range(0, n, self._max_pad_full):
+            hi = min(lo + self._max_pad_full, n)
+            P = _pad_size(hi - lo)
+            idxp = jnp.asarray(np.resize(np.arange(lo, hi), P))
+            b, okf, it = self.full._decode(
+                jnp.take(cur_cha, idxp, axis=0), jnp.take(cur_msg, idxp, axis=0)
+            )
+            bits, ok, iters = scatter(
+                bits, ok, iters, b, okf, it, np.arange(hi - lo), remaining[lo:hi]
+            )
         self._adapt_plan(np.asarray(iters), np.asarray(ok))
         return bits, ok, iters
 

@@ -513,7 +513,7 @@ def get_lam2stable_lut(
     for nn in range(100000):
         prod = get_var_product_pmf([pmf_con, pmf_cha])
         nzm = 0.5 * (prod + prod[::-1]) != 0
-        _, pmf_con, _ = quant_mi_sym(prod[nzm], Nq_Msg)
+        _, pmf_con, _ = quant_mi_sym(prod[nzm], Nq_Msg, is_sorted=True)
         Pe = seq_sum(pmf_con[: Nq_Msg // 2])
         with np.errstate(divide="ignore", over="ignore"):
             e_to_r = float(np.power(Pe, -1.0 / nn)) if nn > 0 else np.inf

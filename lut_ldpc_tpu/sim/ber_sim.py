@@ -249,11 +249,13 @@ class BERSim:
             gitversion=git_version(),
         )
         start_ss, start_bb = 0, 0
+        skip_rest = False
         if checkpoint_path and os.path.exists(checkpoint_path):
             results = BERSimResults.load(checkpoint_path)
             with open(checkpoint_path + ".state") as f:
                 st = json.load(f)
             start_ss, start_bb = st["ss"], st["bb"]
+            skip_rest = st.get("skip_rest", False)
             if verbose:
                 print(f"resuming from SNR index {start_ss}, batch {start_bb}")
 
@@ -262,7 +264,7 @@ class BERSim:
                 return
             results.save(checkpoint_path.removesuffix(".npz"))
             with open(checkpoint_path + ".state", "w") as f:
-                json.dump({"ss": ss, "bb": bb}, f)
+                json.dump({"ss": ss, "bb": bb, "skip_rest": skip_rest}, f)
 
         # optional jax profiler capture (LUT_PROFILE_DIR=<dir> writes the
         # sweep's device trace for xprof/tensorboard; use a small config)
@@ -271,7 +273,6 @@ class BERSim:
             jax.profiler.start_trace(profile_dir)
 
         t0 = time.perf_counter()
-        skip_rest = False
         for ss, snr in enumerate(snr_db):
             if ss < start_ss:
                 continue
@@ -288,13 +289,13 @@ class BERSim:
                 results.add_counts(
                     ss, c["frames"], c["data_bits"], c["uncoded_bits"],
                     c["frame_errors"], c["data_bit_errors"], c["uncoded_bit_errors"],
+                    c.get("decode_iters", 0),
                 )
                 frames += c["frames"]
                 ferrs += c["frame_errors"]
                 bb += 1
                 if checkpoint_path and bb % checkpoint_every == 0:
                     save_ckpt(ss, bb)
-            save_ckpt(ss + 1, 0)
             if verbose:
                 print(
                     f"SNR = {snr:g}  frames {results.frames[ss]}  "
@@ -307,6 +308,7 @@ class BERSim:
             fer = results.fer()[ss]
             if ber < cfg.ber_min or fer < cfg.fer_min:
                 skip_rest = True
+            save_ckpt(ss + 1, 0)
         results.runtime = time.perf_counter() - t0
         if profile_dir:
             jax.profiler.stop_trace()

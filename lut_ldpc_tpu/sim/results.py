@@ -43,26 +43,29 @@ class BERSimResults:
     frame_errors: np.ndarray = field(default=None)
     data_bit_errors: np.ndarray = field(default=None)
     uncoded_bit_errors: np.ndarray = field(default=None)
+    decode_iters: np.ndarray = field(default=None)  # summed decoder iterations
     runtime: float = 0.0
     gitversion: str = ""
 
     def __post_init__(self):
         n = len(self.snr_db)
         for name in (
-            "frames", "data_bits", "uncoded_bits",
-            "frame_errors", "data_bit_errors", "uncoded_bit_errors",
+            "frames", "data_bits", "uncoded_bits", "frame_errors",
+            "data_bit_errors", "uncoded_bit_errors", "decode_iters",
         ):
             if getattr(self, name) is None:
                 setattr(self, name, np.zeros(n, dtype=np.int64))
 
     def add_counts(self, ss: int, frames, data_bits, uncoded_bits,
-                   frame_errors, data_bit_errors, uncoded_bit_errors):
+                   frame_errors, data_bit_errors, uncoded_bit_errors,
+                   decode_iters=0):
         self.frames[ss] += frames
         self.data_bits[ss] += data_bits
         self.uncoded_bits[ss] += uncoded_bits
         self.frame_errors[ss] += frame_errors
         self.data_bit_errors[ss] += data_bit_errors
         self.uncoded_bit_errors[ss] += uncoded_bit_errors
+        self.decode_iters[ss] += decode_iters
 
     # -- derived -------------------------------------------------------------
     def ber(self) -> np.ndarray:
@@ -79,6 +82,11 @@ class BERSimResults:
                 self.uncoded_bits > 0, self.uncoded_bit_errors / self.uncoded_bits, 0.0
             )
 
+    def mean_iters(self) -> np.ndarray:
+        """Mean decoder iterations per frame per SNR point."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(self.frames > 0, self.decode_iters / self.frames, 0.0)
+
     def sec_per_frame(self) -> float:
         tot = int(self.frames.sum())
         return self.runtime / tot if tot else 0.0
@@ -94,6 +102,7 @@ class BERSimResults:
             sim_frame_errors=self.frame_errors,
             sim_data_bit_errors=self.data_bit_errors,
             sim_uncoded_bit_errors=self.uncoded_bit_errors,
+            sim_decode_iters=self.decode_iters,
             ldpc_nvar=np.int64(self.nvar),
             ldpc_nchk=np.int64(self.nchk),
             ldpc_rate=np.float64(self.rate),
@@ -106,6 +115,7 @@ class BERSimResults:
             "fer": self.fer().tolist(),
             "uncoded_ber": self.uncoded_ber().tolist(),
             "frames": self.frames.tolist(),
+            "mean_iters": self.mean_iters().tolist(),
             "runtime_s": self.runtime,
             "sec_per_frame": self.sec_per_frame(),
             "gitversion": self.gitversion,
@@ -171,6 +181,8 @@ class BERSimResults:
             frame_errors=z["sim_frame_errors"].astype(np.int64),
             data_bit_errors=z["sim_data_bit_errors"].astype(np.int64),
             uncoded_bit_errors=z["sim_uncoded_bit_errors"].astype(np.int64),
+            decode_iters=(z["sim_decode_iters"].astype(np.int64)
+                          if "sim_decode_iters" in z.files else None),
             runtime=float(z["runtime"]),
             gitversion=str(z["gitversion"]),
         )
@@ -193,8 +205,8 @@ def aggregate(paths: list[str], check_gitversion: bool = True) -> BERSimResults:
         if check_gitversion and r.gitversion != out.gitversion:
             warnings.warn(f"aggregate: gitversion mismatch in {p}")
         for name in (
-            "frames", "data_bits", "uncoded_bits",
-            "frame_errors", "data_bit_errors", "uncoded_bit_errors",
+            "frames", "data_bits", "uncoded_bits", "frame_errors",
+            "data_bit_errors", "uncoded_bit_errors", "decode_iters",
         ):
             setattr(out, name, getattr(out, name) + getattr(r, name))
         out.runtime += r.runtime

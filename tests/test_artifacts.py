@@ -77,3 +77,26 @@ def test_stimuli_dump(codec):
     assert np.array_equal(
         np.array([int(x) for x in out_line.split()], dtype=np.uint8), bits
     )
+
+
+def test_dump_stimuli_cli(tmp_path, codec):
+    from lut_ldpc_tpu.cli.dump_stimuli import main
+
+    p = str(tmp_path / "c.it")
+    codec.save_itfile(p)
+    out = str(tmp_path / "stim.txt")
+    assert main([p, "--snr", "4.0", "--frames", "3", "--verbosity", "2",
+                 "-o", out]) == 0
+    text = open(out).read()
+    assert text.count("Stimuli Pair") == 3
+    assert "Initial VN-to-CN messages" in text
+
+
+def test_decode_ref_pisc(codec):
+    """pisc returns 0 iterations when the channel hard decision is already
+    a codeword (all-zero at high SNR)."""
+    rng = np.random.default_rng(0)
+    y = 1.0 + 0.3 * rng.standard_normal(codec.nvar)  # very high SNR
+    lc, lm = codec.quantize_channel(2.0 * y / 0.09)
+    bits, it = codec.decode_ref(lc, lm, pisc=True)
+    assert it == 0 and bits.sum() == 0
