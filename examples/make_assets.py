@@ -60,13 +60,83 @@ def main():
                            np.array([32]), np.array([1.0]))
     ens1032.write(os.path.join(ens_dir, "rate0.84_dv06_dc32.ens"))
 
+    # Published BIAWGN-optimized irregular rate-1/2 ensembles (Richardson,
+    # Shokrollahi & Urbanke 2001, tables II/III — the same distributions the
+    # reference ships, ensembles/README.md), keyed by maximum VN degree.
+    published = {
+        "rate0.50_dv02-04_dc05-06.ens": (
+            [2, 3, 4], [0.38354, 0.04237, 0.57409],
+            [5, 6], [0.24123, 0.75877],
+        ),
+        "rate0.50_dv02-05_dc06-07.ens": (
+            [2, 3, 4, 5], [0.32660, 0.11960, 0.18393, 0.36988],
+            [6, 7], [0.78555, 0.21445],
+        ),
+        "rate0.50_dv02-08_dc06-07.ens": (
+            [2, 3, 8], [0.30013, 0.28395, 0.41592],
+            [6, 7], [0.22919, 0.77081],
+        ),
+        "rate0.50_dv02-11_dc07-08.ens": (
+            [2, 3, 4, 11], [0.23882, 0.29515, 0.03261, 0.43342],
+            [7, 8], [0.43011, 0.56989],
+        ),
+        "rate0.50_dv02-15_dc08-09.ens": (
+            [2, 3, 4, 5, 7, 14, 15],
+            [0.23802, 0.20997, 0.03492, 0.12015, 0.01587, 0.0048, 0.37627],
+            [8, 9], [0.98013, 0.01987],
+        ),
+        "rate0.50_dv02-50_dc09-11.ens": (
+            [2, 3, 4, 7, 8, 9, 10, 15, 30, 50],
+            [0.17120, 0.21053, 0.00273, 0.00009, 0.15269, 0.09227,
+             0.02802, 0.01206, 0.07212, 0.25830],
+            [9, 10, 11], [0.3362, 0.08883, 0.57497],
+        ),
+        # LUT-q4-optimized distribution with max VN degree 8 (Meidlinger &
+        # Matz; reference ensembles/rate0.50_dv02-08_dc07-08_lut_q4.ens)
+        "rate0.50_dv02-08_dc07-08_lut_q4.ens": (
+            [2, 3, 8], [0.163844, 0.40637, 0.429786],
+            [7, 8], [0.591665, 0.408335],
+        ),
+    }
+    for name, (dv, lam, dc, rho) in published.items():
+        LDPCEnsemble(
+            np.array(dv), np.array(lam), np.array(dc), np.array(rho)
+        ).write(os.path.join(ens_dir, name))
+
+    # --- DVB-S2 rate-1/2 N=64800 (the true standard matrix) ---------------
+    # ETSI EN 302 307 defines this code; we import the parity matrix
+    # shipped by the reference toolchain (codes/rate0.50_irreg_dvbs2_N64800
+    # .alist) — it is standardized data, not designable — and round-trip it
+    # through our Tanner-graph layer to validate and normalize the format.
+    ref_dvbs2 = "/root/reference/codes/rate0.50_irreg_dvbs2_N64800.alist"
+    out_dvbs2 = os.path.join(codes_dir, "rate0.50_irreg_dvbs2_N64800.alist")
+    if os.path.exists(ref_dvbs2) and not os.path.exists(out_dvbs2):
+        from lut_ldpc_tpu.core.alist import read_alist
+        from lut_ldpc_tpu.core.tanner import TannerGraph
+
+        print("importing DVB-S2 N=64800 standard matrix ...", flush=True)
+        g = TannerGraph.from_dense(read_alist(ref_dvbs2))
+        assert g.nvar == 64800 and g.nchk == 32400
+        write_alist(out_dvbs2, g.to_dense())
+
     # --- PEG codes ---------------------------------------------------------
+    ens_15 = LDPCEnsemble(
+        np.array(published["rate0.50_dv02-15_dc08-09.ens"][0]),
+        np.array(published["rate0.50_dv02-15_dc08-09.ens"][1]),
+        np.array(published["rate0.50_dv02-15_dc08-09.ens"][2]),
+        np.array(published["rate0.50_dv02-15_dc08-09.ens"][3]),
+    )
     jobs = [
         (ens36, 500, 1000, "rate0.50_dv03_dc06_N1000.alist"),
         (ens_irr, 250, 500, "rate0.50_dv02-17_dc08-09_lut_q4_N500.alist"),
+        (ens1032, 384, 2048, "rate0.84_reg_v6c32_N2048.alist"),
+        (ens_irr, 500, 1000, "rate0.50_dv02-17_dc08-09_lut_q4_N1000.alist"),
     ]
     if args.big:
         jobs.append((ens36, 5000, 10000, "rate0.50_dv03_dc06_N10000.alist"))
+        jobs.append((ens_15, 5000, 10000, "rate0.50_dv02-15_dc08-09_N10000.alist"))
+        jobs.append((ens_irr, 5000, 10000,
+                     "rate0.50_dv02-17_dc08-09_lut_q4_N10000.alist"))
     for ens, M, N, name in jobs:
         print(f"PEG: {name} ...", flush=True)
         graph, lg = peg_code_from_ensemble(ens, M, N, seed=20260817)

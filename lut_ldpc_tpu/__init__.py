@@ -21,4 +21,9 @@ Layers (bottom to top):
 - `utils`: IT++ .it binary file interop.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .utils.compile_cache import enable_compilation_cache as _enable_cc
+
+_enable_cc()
+del _enable_cc

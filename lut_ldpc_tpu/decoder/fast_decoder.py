@@ -55,14 +55,16 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
     decoder.  All three are bit-identical where they apply."""
     import numpy as np
 
-    from .arith import build_arith_spec
+    from .arith import ArithBuildError, build_arith_spec
     from .arith_decoder import ArithLUTDecoder
 
     for dt in (np.int16, np.float32):  # int16 halves traffic when exact
         try:
             spec = build_arith_spec(codec, dtype=dt)
             return ArithLUTDecoder(codec, early_exit=early_exit, spec=spec)
-        except ValueError:
+        except ArithBuildError:
+            # could not *prove* exactness for this codec/dtype -> fall back;
+            # any other error is a genuine bug and propagates
             pass
     if _supports_fast(codec):
         try:

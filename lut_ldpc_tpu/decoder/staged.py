@@ -53,7 +53,7 @@ class StagedLUTDecoder:
         try:
             prefix_spec = build_arith_prefix_spec(codec, dtype=np.int16)
             self._dtype = np.int16
-        except (ArithBuildError, ValueError):
+        except ArithBuildError:
             pass
         if prefix_spec is None or prefix_spec.num_iters < min(8, codec.max_iters - 1):
             spec32 = build_arith_prefix_spec(codec, dtype=np.float32)
@@ -80,7 +80,7 @@ class StagedLUTDecoder:
                 full_spec = build_arith_spec(codec, dtype=dt)
                 self.full = ArithLUTDecoder(codec, early_exit=True, spec=full_spec)
                 break
-            except (ArithBuildError, ValueError):
+            except ArithBuildError:
                 pass
         if self.full is None:
             from .fast_decoder import FastLUTDecoder
@@ -210,7 +210,7 @@ def make_staged_decoder(codec: LUTCodec, early_exit: bool = True):
     if early_exit:
         try:
             return StagedLUTDecoder(codec, early_exit=True)
-        except (ArithBuildError, ValueError):
+        except ArithBuildError:
             pass
     from .fast_decoder import make_decoder
 

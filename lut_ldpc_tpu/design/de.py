@@ -531,6 +531,64 @@ def get_lam2stable_cbp(sig: float, rho_dense: np.ndarray) -> float:
     return float(np.exp(1.0 / (2 * sig**2))) / rho_dev_1
 
 
+def get_lam2stable_qbp_iterative(
+    sig: float, rho_dense: np.ndarray, Nq_Cha: int,
+    LLR_max: float = 25.0, Nbit: int = 13,
+) -> float:
+    """Iterative quantized-BP stability estimate (LDPC_DE.cpp:1496-1573).
+
+    Re-expands the Nq_Cha-quantized channel pmf onto a fine uniform LLR
+    grid (each quantized mass placed at the grid bin containing its LLR),
+    then repeatedly convolves in one more channel observation (degree-2 VN
+    update) and tracks the per-iteration error-rate root
+    e_to_r = Pe^(-1/i) to a Cauchy fixed point.  The reference's trace-file
+    side channel (hard-coded output path, :1541) is intentionally dropped;
+    everything else matches, including the fold of the negative overflow
+    tail into the lowest bin and the +inf residual bin.
+    """
+    N = 2 ** (Nbit - 1)
+    cauchy = 1e-9
+    delta = LLR_max / N
+    pmf_fine = get_gaussian_pmf(2 / sig**2, 2 / sig, 2 * N + 2, delta)
+    rho = np.asarray(rho_dense, dtype=np.float64)[1:]  # drop degree-1
+    _, pmf_cha, _ = quant_mi_sym(pmf_fine, Nq_Cha, is_sorted=True)
+
+    # scatter quantized masses to the fine signed grid by their LLR
+    pmf_sparse = np.zeros(2 * N + 2)
+    ll = 0
+    with np.errstate(divide="ignore"):
+        for nn in range(2 * N + 1):
+            L = np.log(pmf_cha[ll]) - np.log(pmf_cha[Nq_Cha - 1 - ll])
+            s = nn - N
+            if s * delta < L <= (s + 1) * delta:
+                pmf_sparse[nn] = pmf_cha[ll]
+                ll += 1
+                if ll >= Nq_Cha:
+                    break
+
+    Nfft = 2 ** (1 + int(np.ceil(np.log2(2 * N + 1))))
+    pmf_in = pmf_sparse
+    pmf_out = pmf_sparse
+    e_to_r = 0.0
+    e_to_r_old = np.finfo(np.float64).tiny
+    for ii in range(2, 100000):
+        a = pmf_in[: 2 * N + 1]
+        b = pmf_out[: 2 * N + 1]
+        tmp = np.fft.irfft(np.fft.rfft(a, Nfft) * np.fft.rfft(b, Nfft), Nfft)
+        out = tmp[N : 3 * N + 1].copy()
+        out[0] += tmp[:N].sum()
+        pmf_out = np.concatenate([out, [1.0 - out.sum()]])
+        Pe = pmf_out[:N].sum() + 0.5 * pmf_out[N]
+        if Pe == 0:
+            break
+        e_to_r = float(np.exp(-np.log(Pe) / ii))
+        if abs(e_to_r_old - e_to_r) < cauchy:
+            break
+        e_to_r_old = e_to_r
+    rho_dev_1 = float((rho * np.arange(1, len(rho) + 1)).sum())
+    return e_to_r / rho_dev_1
+
+
 def get_lam2stable_qbp(
     sig: float, rho_dense: np.ndarray, Nq_Cha: int = 5000,
     LLR_max: float = 25.0, Nq_fine: int = 5000,

@@ -15,6 +15,8 @@ The DP inner maximization is vectorized over numpy instead of looping.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["quant_mi_sym", "sym_llr_sort_unique", "quant_lin", "quant_nonlin"]
@@ -80,6 +82,19 @@ def quant_mi_sym(p_in: np.ndarray, Nq: int, is_sorted: bool = False):
         raise ValueError("quant_mi_sym: input pmf length must be even")
     if K < 2 or K % 2 != 0:
         raise ValueError("quant_mi_sym: number of output labels must be even and >= 2")
+    # the DP's partial-MI table is (M/2)^2 doubles (common.cpp:276-284 has
+    # the same footprint); refuse infeasible joint alphabets with a clear
+    # error instead of a native bad_alloc (e.g. a flat 6-input root LUT at
+    # q3/q4 -> M ~ 5e5, table ~ 550 GB; the reference aborts there too)
+    if K < M_in and (M_in // 2) ** 2 * 8 > int(
+        os.environ.get("LUT_LDPC_QUANT_MEM", 4 << 30)
+    ):
+        raise ValueError(
+            f"quant_mi_sym: joint alphabet of {M_in} entries needs "
+            f"{(M_in // 2) ** 2 * 8 / 2**30:.1f} GiB for the DP table; "
+            "use a deeper tree decomposition (2-input stages) or lower "
+            "resolutions (LUT_LDPC_QUANT_MEM overrides the cap)"
+        )
 
     from .._native import quant_mi_sym_native
 

@@ -354,12 +354,24 @@ def run_from_config(
             reuse = None
             if lut.reuse_lut:
                 reuse = np.array([int(x) for x in lut.reuse_lut.split()], dtype=bool)
+            # LUT.qbits_messages: per-iteration message resolutions
+            # (LDPC_BER_Sim.cpp:398: Nq_Msg = 2^qbits_messages elementwise)
+            if getattr(lut, "qbits_messages", ""):
+                qb = np.array([int(x) for x in lut.qbits_messages.split()])
+                if len(qb) != lut.max_iter:
+                    raise ValueError(
+                        "LUT.qbits_messages needs max_iter entries "
+                        f"({len(qb)} given, max_iter={lut.max_iter})"
+                    )
+                Nq_Msg = (2 ** qb.astype(np.int64))
+            else:
+                Nq_Msg = 2**lut.qbits_message_uniform
             codec = LUTCodec.design(
                 graph,
                 sig * sig,
                 max_iters=lut.max_iter,
                 Nq_Cha=2**lut.qbits_channel,
-                Nq_Msg=2**lut.qbits_message_uniform,
+                Nq_Msg=Nq_Msg,
                 tree_method=(
                     f"filename={lut.trees_filename}"
                     if lut.tree_mode == "filename"

@@ -88,6 +88,10 @@ class LUTConfig:
     design_SNRdB: float = 0.0
     qbits_channel: int = 4
     qbits_message_uniform: int = 4
+    # optional per-iteration message bit widths, e.g. "4 4 3 3 2" (one entry
+    # per iteration; LDPC_BER_Sim.cpp:398 'LUT.qbits_messages' — overrides
+    # qbits_message_uniform when non-empty)
+    qbits_messages: str = ""
     tree_mode: str = "auto_bin_balanced"
     trees_filename: str = ""
     min_lut: bool = True
@@ -160,6 +164,7 @@ def parse_ini(path: str) -> BERSimConfig:
             qbits_message_uniform=get(
                 "LUT", "qbits_message_uniform", lc.qbits_message_uniform, int
             ),
+            qbits_messages=get("LUT", "qbits_messages", lc.qbits_messages),
             tree_mode=get("LUT", "tree_mode", lc.tree_mode),
             trees_filename=get("LUT", "trees_filename", lc.trees_filename),
             min_lut=get("LUT", "min_lut", lc.min_lut, bool),

@@ -130,6 +130,23 @@ def test_stability_functionals():
     assert l_lut <= l_cbp * 1.01
 
 
+def test_lam2stable_qbp_iterative():
+    """Iterative qBP stability estimate (LDPC_DE.cpp:1496-1573) converges
+    and agrees with the closed-form Bhattacharyya bound to a few percent
+    (they estimate the same exponent by different routes)."""
+    from lut_ldpc_tpu.design.de import (
+        get_lam2stable_qbp,
+        get_lam2stable_qbp_iterative,
+    )
+
+    ens = LDPCEnsemble.read(ENS_IRR)
+    rho = ens.chk_degree_dist_dense()
+    it = get_lam2stable_qbp_iterative(0.88, rho, 16)
+    cf = get_lam2stable_qbp(0.88, rho, 16)
+    assert it > 0
+    assert it == pytest.approx(cf, rel=0.05)
+
+
 def test_tree_templates_from_file():
     ens = LDPCEnsemble(
         np.array([2, 3, 8, 9]), np.array([0.2, 0.3, 0.3, 0.2]),

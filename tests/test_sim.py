@@ -209,3 +209,40 @@ def test_bp_config_mapping(graph96):
                                             qllr_frac_bits=8))
     assert dec.algorithm == "qllr" and dec.max_iters == 12
     assert dec.q_max == (1 << 15) - 1
+
+
+def test_qbits_messages_ini(tmp_path, graph96):
+    """LUT.qbits_messages (LDPC_BER_Sim.cpp:398): per-iteration message
+    resolutions flow from the INI through design into the codec."""
+    from lut_ldpc_tpu.core.alist import write_alist
+    from lut_ldpc_tpu.sim.ber_sim import run_from_config
+
+    (tmp_path / "codes").mkdir()
+    write_alist(str(tmp_path / "codes" / "c96.alist"), graph96.to_dense())
+    ini = tmp_path / "ber.ini"
+    ini.write_text(
+        """
+[Sim]
+SNRdB = 3
+Nframes = 16
+Nfers = 1000
+batch_size = 16
+
+[LDPC]
+parity_filename = c96
+
+[LUT]
+max_iter = 4
+design_thr = 0.88
+qbits_channel = 4
+qbits_messages = 4 4 3 3
+"""
+    )
+    cfg = parse_ini(str(ini))
+    assert cfg.lut.qbits_messages == "4 4 3 3"
+    res, sim = run_from_config(cfg, codes_root=str(tmp_path), verbose=False)
+    assert list(sim.codec.Nq_Msg) == [16, 16, 8, 8]
+    # wrong length is a config error
+    cfg.lut.qbits_messages = "4 4"
+    with pytest.raises(ValueError):
+        run_from_config(cfg, codes_root=str(tmp_path), verbose=False)
