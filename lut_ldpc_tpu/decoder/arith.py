@@ -152,11 +152,93 @@ class ArithBuildError(ValueError):
     pass
 
 
-def _tree_values(node, leaf_msg, leaf_cha, convert):
+def _joint_mask(child_masks):
+    """Flattened reachability mask over joint labels (child 0 least
+    significant — the same label convention as the joint sums)."""
+    mask = np.ones(1, dtype=bool)
+    for mm in child_masks:
+        mask = (np.asarray(mm, bool)[:, None] & mask[None, :]).reshape(-1)
+    return mask
+
+
+def _node_image(node, table, child_masks):
+    """Output labels this node can actually emit: the image of its LUT on
+    the reachable input combinations."""
+    img = np.zeros(node.K, dtype=bool)
+    img[np.unique(table[_joint_mask(child_masks)])] = True
+    return img | img[::-1]  # CN sign flips keep label sets symmetric
+
+
+def clamp_dead(v: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Replace values of unreachable labels by tight monotone fillers.
+
+    Unreachable labels never occur at runtime (they are outside the image
+    of every producing LUT), so their values are free; the nudged LLRs of
+    dead labels in late DE iterations otherwise blow up the int16 scaling
+    range and break sum-monotonicity.  Keeps strict |v| monotonicity and
+    exact antisymmetry."""
+    v = np.asarray(v, dtype=np.float64).copy()
+    mask = np.asarray(mask, bool)
+    if mask.all():
+        return v
+    K = len(v)
+    nz = K // 2
+    up = v[nz:].copy()
+    m = mask[nz:]
+    prev = None
+    for i in range(len(up)):
+        if m[i]:
+            prev = up[i]
+        else:
+            up[i] = 1e-9 if prev is None else prev * (1 + 1e-6) + 1e-9
+            prev = up[i]
+    v[nz:] = up
+    v[:nz] = -up[::-1]
+    return v
+
+
+def compute_reachable(codec) -> list:
+    """Exact per-iteration reachable message-label masks.
+
+    A label can enter iteration ii iff some reachable input combination of
+    an iteration ii-1 VN tree emits it (pure LUT-image propagation — no
+    probabilities, so float-underflowed-but-possible labels are never
+    misclassified as dead).  The min-sum CN pass maps any symmetric label
+    set to itself (output magnitude is one of the input magnitudes, signs
+    are free), and every mask here is symmetric, so CN adds nothing.
+    Iteration 0 messages come straight from the channel quantizer; all
+    labels are assumed reachable there (a sound upper bound)."""
+    from ..core.trees import CHA, MSG
+
+    T = codec.max_iters
+    K = int(codec.Nq_Msg[0])
+    Kc = int(codec.Nq_Cha)
+    cha_mask = np.ones(Kc, dtype=bool)
+    reach = [np.ones(K, dtype=bool)]
+
+    def walk(n, msg_mask):
+        if n.type == CHA:
+            return cha_mask
+        if n.type == MSG:
+            return msg_mask
+        masks = [walk(c, msg_mask) for c in n.children]
+        L = int(np.prod([len(m) for m in masks]))
+        table = _var_full_table(np.asarray(n.Q), L, n.K).astype(np.int64)
+        return _node_image(n, table, masks)
+
+    for ii in range(1, T):
+        cur = np.zeros(K, dtype=bool)
+        for d in codec.var_tree_degrees:
+            cur |= walk(codec.var_tree(ii - 1, int(d)).root, reach[ii - 1])
+        reach.append(cur | cur[::-1])
+    return reach
+
+
+def _tree_values(node, leaf_msg, leaf_cha, convert, msg_mask, cha_mask):
     """Post-order walk computing each node's input value tables (through
-    `convert`, which maps f64 LLR tables to the work dtype); returns
-    (node, slots, child_tables) triples in topological order plus leaf
-    count."""
+    `convert`, which maps f64 LLR tables to the work dtype) and reachable
+    label masks; returns (node, slots, child_tables, child_masks) tuples in
+    topological order plus leaf count."""
     from ..core.trees import CHA, MSG
 
     ops = []
@@ -169,26 +251,37 @@ def _tree_values(node, leaf_msg, leaf_cha, convert):
             slot = leaf_count
             leaf_count += 1
             table = leaf_cha if n.type == CHA else leaf_msg
+            mask = cha_mask if n.type == CHA else msg_mask
             if len(table) != n.K:
                 raise ArithBuildError(
                     f"leaf resolution {n.K} != value table {len(table)}"
                 )
-            return slot, table
-        pairs = [rec(c) for c in n.children]
-        slots = tuple(p[0] for p in pairs)
-        tables = [p[1] for p in pairs]
-        ops.append((n, slots, tables))
-        out_table = convert(nudged_llr(n.p))
-        return num_leaves + len(ops) - 1, out_table
+            return slot, table, mask
+        triples = [rec(c) for c in n.children]
+        slots = tuple(p[0] for p in triples)
+        tables = [p[1] for p in triples]
+        masks = [p[2] for p in triples]
+        ops.append((n, slots, tables, masks))
+        L = int(np.prod([len(t) for t in tables]))
+        lut = _var_full_table(np.asarray(n.Q), L, n.K).astype(np.int64)
+        img = _node_image(n, lut, masks)
+        out_table = convert(clamp_dead(nudged_llr(n.p), img))
+        return num_leaves + len(ops) - 1, out_table, img
 
-    _, root_table = rec(node)
-    return ops, leaf_count, root_table
+    rec(node)
+    return ops, leaf_count
 
 
-def _op_spec(node, slots, child_tables, out_values, work_dtype) -> ArithOpSpec:
+def _op_spec(node, slots, child_tables, child_masks, out_values,
+             work_dtype) -> ArithOpSpec:
     """Derive thresholds for one node and validate exhaustively against its
     integer LUT in the runtime's arithmetic (float32 chained adds, or exact
-    integer adds range-checked against int16)."""
+    integer adds range-checked against int16).
+
+    Only *reachable* input combinations participate (child_masks from the
+    exact LUT-image propagation): unreachable combos cannot occur at
+    runtime, so the sum representation need not — and in degenerate late
+    iterations cannot — reproduce the LUT's don't-care entries there."""
     is_int = np.issubdtype(np.dtype(work_dtype), np.integer)
     wide = np.int64 if is_int else np.float32
     ks = [len(t) for t in child_tables]
@@ -197,6 +290,9 @@ def _op_spec(node, slots, child_tables, out_values, work_dtype) -> ArithOpSpec:
     if node.Q is None or len(node.Q) != L // 2:
         raise ArithBuildError("node LUT missing or wrong length")
     table = _var_full_table(np.asarray(node.Q), L, K).astype(np.int64)
+    live = _joint_mask(child_masks)
+    if not live.any():
+        raise ArithBuildError("no reachable input combinations")
 
     # joint sums indexed by label = l_0 + K0*l_1 + ... (child 0 least
     # significant, same convention as the LUT tables); dtype mirrors the
@@ -204,7 +300,7 @@ def _op_spec(node, slots, child_tables, out_values, work_dtype) -> ArithOpSpec:
     s = np.zeros(1, dtype=wide)
     for t in child_tables:
         s = (t.astype(wide)[:, None] + s[None, :]).reshape(-1)
-    if is_int and np.abs(s).max() > 32600:
+    if is_int and np.abs(s[live]).max() > 32600:
         raise ArithBuildError("int16 sum range exceeded")
 
     # zero-sum ties resolve by the most-significant child's value sign (the
@@ -212,9 +308,9 @@ def _op_spec(node, slots, child_tables, out_values, work_dtype) -> ArithOpSpec:
     # index half); those combos get the explicit tie outputs
     last = child_tables[-1].astype(wide)
     tie_val = np.repeat(last, L // ks[-1])
-    if is_int and np.any(last == 0):
+    if is_int and np.any(last[np.asarray(child_masks[-1], bool)] == 0):
         raise ArithBuildError("zero entry in integer value table")
-    zero = s == 0
+    zero = (s == 0) & live
     out_values = np.asarray(out_values, dtype=work_dtype)
     if len(out_values) != K:
         raise ArithBuildError("output value table length mismatch")
@@ -225,7 +321,7 @@ def _op_spec(node, slots, child_tables, out_values, work_dtype) -> ArithOpSpec:
     tie_lo = out_values[lo_set[0]] if len(lo_set) else out_values[0]
     tie_hi = out_values[hi_set[0]] if len(hi_set) else out_values[0]
 
-    nz = ~zero
+    nz = live & (s != 0)
     thr_inf = np.asarray(32767 if is_int else np.inf, dtype=work_dtype)
     thr = np.full(K - 1, thr_inf, dtype=work_dtype)
     for k in range(1, K):
@@ -235,7 +331,7 @@ def _op_spec(node, slots, child_tables, out_values, work_dtype) -> ArithOpSpec:
 
     spec = ArithOpSpec(slots, thr, out_values, float(tie_lo), float(tie_hi))
     # exhaustive validation: piecewise level == table level for all
-    # non-tie combos (tie combos validated through lo/hi above)
+    # reachable non-tie combos (tie combos validated through lo/hi above)
     lvl = np.zeros(L, dtype=np.int64)
     for k in range(K - 1):
         lvl += (s >= thr[k].astype(wide)).astype(np.int64)
@@ -255,7 +351,8 @@ def _dfs_leaf_types(node, out):
 
 
 def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values,
-                     convert, work_dtype) -> ArithTreeSpec:
+                     convert, work_dtype, msg_mask=None,
+                     cha_mask=None) -> ArithTreeSpec:
     from ..core.trees import CHA, MSG
 
     # the runtime feeds the channel value into the LAST queue slot
@@ -264,13 +361,26 @@ def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values,
     types = _dfs_leaf_types(tree.root, [])
     if types[-1] != CHA or any(t != MSG for t in types[:-1]):
         raise ArithBuildError("channel leaf must be the last DFS leaf")
-    ops_raw, num_inputs, _ = _tree_values(tree.root, leaf_msg, leaf_cha, convert)
+    if msg_mask is None:
+        msg_mask = np.ones(len(leaf_msg), dtype=bool)
+    if cha_mask is None:
+        cha_mask = np.ones(len(leaf_cha), dtype=bool)
+    ops_raw, num_inputs = _tree_values(tree.root, leaf_msg, leaf_cha,
+                                       convert, msg_mask, cha_mask)
     specs = []
-    for i, (node, slots, tables) in enumerate(ops_raw):
+    for i, (node, slots, tables, masks) in enumerate(ops_raw):
         is_root = i == len(ops_raw) - 1
-        out_vals = (root_out_values if is_root
-                    else convert(nudged_llr(node.p))[: node.K])
-        specs.append(_op_spec(node, slots, tables, out_vals, work_dtype))
+        if is_root:
+            out_vals = root_out_values
+        else:
+            lut = _var_full_table(
+                np.asarray(node.Q),
+                int(np.prod([len(t) for t in tables])), node.K
+            ).astype(np.int64)
+            img = _node_image(node, lut, masks)
+            out_vals = convert(clamp_dead(nudged_llr(node.p), img))[: node.K]
+        specs.append(_op_spec(node, slots, tables, masks, out_vals,
+                              work_dtype))
     return ArithTreeSpec(num_inputs=num_inputs, ops=tuple(specs))
 
 
@@ -358,17 +468,23 @@ def _check_minsum_table(v: np.ndarray):
         raise ArithBuildError("value table not antisymmetric")
 
 
-def _leaf_tables(codec, dtype):
-    """(convert, work_dtype, leaf_msg list, leaf_cha) in the work dtype."""
+def _leaf_tables(codec, dtype, reach=None):
+    """(convert, work_dtype, leaf_msg list, leaf_cha) in the work dtype.
+
+    With `reach` (per-iteration reachable label masks), dead-label values
+    are clamped to tight monotone fillers before scaling — they never occur
+    at runtime and would otherwise inflate the int16 range."""
     T = codec.max_iters
     leaf_cha_f64 = nudged_llr(codec.pmf_cha_design)
     # leaf value tables per iteration (messages entering iteration ii);
     # repaired to strict magnitude monotonicity (exactness still verified
     # per node against the integer LUTs)
-    leaf_msg_f64 = [
-        repair_monotone(nudged_llr(codec.pmf_chk2var_trace[ii]))
-        for ii in range(T)
-    ]
+    leaf_msg_f64 = []
+    for ii in range(T):
+        v = nudged_llr(codec.pmf_chk2var_trace[ii])
+        if reach is not None:
+            v = clamp_dead(v, reach[ii])
+        leaf_msg_f64.append(repair_monotone(v))
     convert, work_dtype, converted = _dtype_ctx(
         dtype, leaf_msg_f64 + [leaf_cha_f64]
     )
@@ -389,13 +505,14 @@ def build_arith_spec(codec: LUTCodec, dtype=np.float32) -> ArithSpec:
     if len(set(int(x) for x in codec.Nq_Msg)) != 1:
         raise ArithBuildError("arith decoder needs uniform Nq_Msg")
 
-    convert, work_dtype, leaf_msg, leaf_cha = _leaf_tables(codec, dtype)
+    reach = compute_reachable(codec)
+    convert, work_dtype, leaf_msg, leaf_cha = _leaf_tables(codec, dtype, reach)
     for v in leaf_msg:
         _check_minsum_table(v)
 
     degrees = [int(d) for d in codec.var_tree_degrees]
     var_specs = _build_var_specs(
-        codec, degrees, leaf_msg, leaf_cha, T - 1, convert, work_dtype
+        codec, degrees, leaf_msg, leaf_cha, T - 1, convert, work_dtype, reach
     )
 
     dec_specs = []
@@ -408,7 +525,7 @@ def build_arith_spec(codec: LUTCodec, dtype=np.float32) -> ArithSpec:
         tree.update(reuse=True)
         dec_specs.append(
             _build_tree_spec(tree, leaf_msg[T - 1], leaf_cha, bit_out,
-                             convert, work_dtype)
+                             convert, work_dtype, msg_mask=reach[T - 1])
         )
 
     # initial messages: labels quantized under qb_Msg -> values of iteration 0
@@ -422,23 +539,26 @@ def build_arith_spec(codec: LUTCodec, dtype=np.float32) -> ArithSpec:
     )
 
 
-def _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii, convert, work_dtype):
+def _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii, convert,
+                   work_dtype, msg_mask=None):
     row = []
     for d in degrees:
         tree = codec.var_tree(ii, d).copy()
         tree.set_leaves(codec.pmf_chk2var_trace[ii], codec.pmf_cha_design)
         tree.update(reuse=True)  # recompute node pmfs under the fixed LUTs
         row.append(_build_tree_spec(tree, leaf_msg[ii], leaf_cha,
-                                    leaf_msg[ii + 1], convert, work_dtype))
+                                    leaf_msg[ii + 1], convert, work_dtype,
+                                    msg_mask=msg_mask))
     return row
 
 
 def _build_var_specs(codec, degrees, leaf_msg, leaf_cha, num_iters,
-                     convert, work_dtype):
+                     convert, work_dtype, reach=None):
     var_specs = []
     for ii in range(num_iters):
         row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, ii,
-                             convert, work_dtype)
+                             convert, work_dtype,
+                             None if reach is None else reach[ii])
         # all iterations must share op structure for the scan path
         if var_specs:
             for a, b in zip(var_specs[0], row):
@@ -470,7 +590,8 @@ def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None,
     if len(set(int(x) for x in codec.Nq_Msg)) != 1:
         raise ArithBuildError("arith decoder needs uniform Nq_Msg")
 
-    convert, work_dtype, leaf_msg, leaf_cha = _leaf_tables(codec, dtype)
+    reach = compute_reachable(codec)
+    convert, work_dtype, leaf_msg, leaf_cha = _leaf_tables(codec, dtype, reach)
     degrees = [int(d) for d in codec.var_tree_degrees]
 
     limit = T - 1 if max_prefix is None else min(max_prefix, T - 1)
@@ -479,7 +600,7 @@ def build_arith_prefix_spec(codec: LUTCodec, max_prefix: int | None = None,
         try:
             _check_minsum_table(leaf_msg[s])  # CN at iteration s needs this
             row = _build_var_row(codec, degrees, leaf_msg, leaf_cha, s,
-                                 convert, work_dtype)
+                                 convert, work_dtype, reach[s])
         except ArithBuildError:
             break
         if var_specs and any(

