@@ -69,7 +69,11 @@ class ArithLUTDecoder:
         self._dtype_np = np.dtype(self.spec.dtype)
         self._dtype = jnp.dtype(self._dtype_np)
         self._is_int = np.issubdtype(self._dtype_np, np.integer)
-        self.layout = GroupedLayout(codec.graph, slot_major=True)
+        # align=16: every per-slot plane starts on an int16 (16, 128) tile
+        # boundary, so the (E, B) <-> (d, n_pad, B) block reshapes are free
+        # bitcasts on TPU; padded rows carry garbage and all reductions in
+        # convergence() mask them out
+        self.layout = GroupedLayout(codec.graph, slot_major=True, align=16)
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
             raise ValueError("arith spec degrees do not match graph blocks")
         self._build_constants()
@@ -85,6 +89,16 @@ class ArithLUTDecoder:
         self._cn_var_pos = jnp.asarray(lay.cn_var_pos)
         self._leaf_msg0 = jnp.asarray(self.spec.leaf_msg0)
         self._leaf_cha = jnp.asarray(self.spec.leaf_cha)
+        # per-block pad masks: True at PADDED node rows (masked out of every
+        # unanimity / syndrome reduction)
+        self._vn_padmask = [
+            jnp.asarray(np.arange(blk.n_pad) >= blk.num_nodes)
+            for blk in lay.vn_blocks
+        ]
+        self._cn_padmask = [
+            jnp.asarray(np.arange(blk.n_pad) >= blk.num_nodes)
+            for blk in lay.cn_blocks
+        ]
 
         # stacked per-iteration op parameters: per block, per op:
         # thr (S, K-1), levels (S, K) [+ lev0/dlev for integer specs]
@@ -126,17 +140,17 @@ class ArithLUTDecoder:
 
     # ------------------------------------------------------------------
     def _vn_blocks_of(self, m):
-        # slot-major: block range reshapes to (d, n, B) with contiguous slots
+        # slot-major: block range reshapes to (d, n_pad, B), contiguous slots
         out = []
         for blk in self.layout.vn_blocks:
-            d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+            d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
             out.append(m[e0 : e0 + n * d].reshape(d, n, -1))
         return out
 
     def _cn_blocks_of(self, m):
         out = []
         for blk in self.layout.cn_blocks:
-            d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+            d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
             out.append(m[e0 : e0 + n * d].reshape(d, n, -1))
         return out
 
@@ -252,42 +266,47 @@ class ArithLUTDecoder:
 
         def convergence(m_vn, m_cn):
             bits, unan = [], None
-            for m in self._vn_blocks_of(m_vn):  # (d, n, B)
+            for bi, m in enumerate(self._vn_blocks_of(m_vn)):  # (d, n_pad, B)
                 neg = m < 0
-                agree = jnp.all(neg == neg[:1], axis=(0, 1))  # (B,)
+                agreen = jnp.all(neg == neg[:1], axis=0)  # (n_pad, B)
+                agree = jnp.all(
+                    agreen | self._vn_padmask[bi][:, None], axis=0
+                )  # (B,)
                 unan = agree if unan is None else (unan & agree)
-                bits.append(neg[0].astype(jnp.uint8))  # (n, B)
-            bits = jnp.concatenate(bits, axis=0)  # (nvar, B)
+                bits.append(neg[0].astype(jnp.uint8))  # (n_pad, B)
+            bits = jnp.concatenate(bits, axis=0)  # (nvar_pad, B)
             synd = None
-            for m in self._cn_blocks_of(m_cn):
-                s = jnp.sum((m < 0).astype(jnp.int32), axis=0) & 1  # (n, B)
-                ok = jnp.all(s == 0, axis=0)
+            for bi, m in enumerate(self._cn_blocks_of(m_cn)):
+                s = jnp.sum((m < 0).astype(jnp.int32), axis=0) & 1  # (n_pad, B)
+                ok = jnp.all(
+                    (s == 0) | self._cn_padmask[bi][:, None], axis=0
+                )
                 synd = ok if synd is None else (synd & ok)
             return bits, unan & synd
 
         def decode(llr_cha, llr_msg):
-            # inputs (B, nvar) int32 labels -> grouped (nvar, B) values
+            # inputs (B, nvar) int32 labels -> grouped (nvar_pad, B) values
             B = llr_cha.shape[0]
-            cha_lab = llr_cha[:, self._vn_nodes].T  # (nvar, B) grouped
+            cha_lab = llr_cha[:, self._vn_nodes].T  # (nvar_pad, B) grouped
             msg_lab = llr_msg[:, self._vn_nodes].T
             vcha = self._select_values(cha_lab, self._leaf_cha)
             v0 = self._select_values(msg_lab, self._leaf_msg0)
 
             cha_blocks = [
-                vcha[blk.node_start : blk.node_start + blk.num_nodes]
+                vcha[blk.node_start : blk.node_start + blk.n_pad]
                 for blk in lay.vn_blocks
             ]
             parts = []
             for blk in lay.vn_blocks:
-                seg = v0[blk.node_start : blk.node_start + blk.num_nodes]  # (n, B)
+                seg = v0[blk.node_start : blk.node_start + blk.n_pad]
                 parts.append(
-                    jnp.broadcast_to(seg[None], (blk.degree, blk.num_nodes, B))
+                    jnp.broadcast_to(seg[None], (blk.degree, blk.n_pad, B))
                     .reshape(-1, B)
                 )
-            m_vn = jnp.concatenate(parts, axis=0)  # (E, B), slot-major blocks
+            m_vn = jnp.concatenate(parts, axis=0)  # (E_vn_pad, B), slot-major
 
             done = jnp.zeros((B,), dtype=bool)
-            latched = jnp.zeros((self.nvar, B), dtype=jnp.uint8)
+            latched = jnp.zeros((lay.nvar_pad, B), dtype=jnp.uint8)
             iters = jnp.full((B,), T, dtype=jnp.int32)
 
             xs = dict(it=jnp.arange(self.S, dtype=jnp.int32))
@@ -310,7 +329,7 @@ class ArithLUTDecoder:
                 m_new = jnp.take(m_cn, self._perm_c2v, axis=0)
                 outs = []
                 for bi, blk in enumerate(lay.vn_blocks):
-                    d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+                    d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
                     m = m_new[e0 : e0 + n * d].reshape(d, n, B)
                     out = self._vn_block_update(bi, blk, m, cha_blocks[bi],
                                                 x["var"][bi])
@@ -344,7 +363,7 @@ class ArithLUTDecoder:
 
             dec_bits = []
             for bi, blk in enumerate(lay.vn_blocks):
-                d, n, e0 = blk.degree, blk.num_nodes, blk.edge_start
+                d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
                 m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
                 spec = self._dec_specs[bi]
                 x_vals = [m[j] for j in range(d)] + [cha_blocks[bi]]
@@ -359,21 +378,21 @@ class ArithLUTDecoder:
                         p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
                         p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
                     prm.append(p)
-                out = self._eval_tree(spec, x_vals, prm)  # (n, B)
+                out = self._eval_tree(spec, x_vals, prm)  # (n_pad, B)
                 dec_bits.append((out < 0).astype(jnp.uint8))
-            dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar, B)
+            dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar_pad, B)
 
             bits_grp = jnp.where(done[None, :], latched, dec_bits)
             edge_bits = jnp.take(bits_grp, self._cn_var_pos, axis=0)
             s_ok = None
             pos = 0
-            for blk in lay.cn_blocks:
-                d, n = blk.degree, blk.num_nodes
+            for bi, blk in enumerate(lay.cn_blocks):
+                d, n = blk.degree, blk.n_pad
                 s = jnp.sum(
                     edge_bits[pos : pos + n * d].reshape(d, n, B).astype(jnp.int32),
                     axis=0,
                 ) & 1
-                ok = jnp.all(s == 0, axis=0)
+                ok = jnp.all((s == 0) | self._cn_padmask[bi][:, None], axis=0)
                 s_ok = ok if s_ok is None else (s_ok & ok)
                 pos += n * d
             ok = done | s_ok

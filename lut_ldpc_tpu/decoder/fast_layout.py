@@ -45,9 +45,10 @@ MAX_COMPOSED_ENTRIES = 1 << 20
 @dataclass(frozen=True)
 class Block:
     degree: int
-    node_start: int  # start in grouped node order
-    num_nodes: int
-    edge_start: int  # start in grouped edge order
+    node_start: int  # start in grouped node order (padded coordinates)
+    num_nodes: int  # REAL nodes in this block
+    edge_start: int  # start in grouped edge order (padded coordinates)
+    n_pad: int = 0  # padded node count (== num_nodes when align == 1)
 
 
 class GroupedLayout:
@@ -58,74 +59,103 @@ class GroupedLayout:
     and leave-one-out arrangements are contiguous slices — the layout the
     TPU's (sublane, lane) tiling wants.  slot_major=False keeps (n, d, B)
     node-major order.  The permutations absorb the difference.
+
+    align > 1 pads every block's node count to a multiple of `align`, so
+    each per-slot plane starts on a TPU tile boundary (int16 tiles are
+    (16, 128): 16-aligned slot sizes make the (E, B) <-> (d, n_pad, B)
+    reshapes free bitcasts instead of physical relayouts).  Padded node /
+    edge rows carry garbage values by design; permutation entries for them
+    point at row 0 and all reductions must mask with the blocks'
+    [num_nodes, n_pad) ranges.  FastLUTDecoder keeps align=1.
     """
 
-    def __init__(self, graph: TannerGraph, slot_major: bool = False):
+    def __init__(self, graph: TannerGraph, slot_major: bool = False,
+                 align: int = 1):
         g = graph
         self.nvar = g.nvar
         self.nchk = g.nchk
         self.num_edges = g.num_edges
         self.slot_major = slot_major
+        self.align = align
 
-        def block_edges(edge_idx):
-            # edge_idx (n, d): grouped order within the block
+        def pad(n: int) -> int:
+            return -(-n // align) * align
+
+        def block_edges(edge_idx, n_pad):
+            # edge_idx (n, d): grouped order within the block; -1 rows pad
+            n, d = edge_idx.shape
+            if n_pad > n:
+                fill = np.full((n_pad - n, d), -1, dtype=edge_idx.dtype)
+                edge_idx = np.concatenate([edge_idx, fill], axis=0)
             return edge_idx.T.reshape(-1) if slot_major else edge_idx.reshape(-1)
 
         # --- VN-grouped order -------------------------------------------
         vn_blocks: list[Block] = []
-        vn_nodes = []  # natural var ids in grouped order
-        vnG_edge_orig = []  # grouped edge position -> original edge id
+        vn_nodes = []  # natural var ids in grouped PADDED order (-1 pads)
+        vnG_edge_orig = []  # grouped edge position -> original edge id (-1 pads)
+        self.vn_node_pos = np.empty(g.nvar, dtype=np.int32)
         npos = epos = 0
         for d in g.vn_degrees:
             d = int(d)
             nodes = g.vn_node_idx[d]
-            vn_blocks.append(Block(d, npos, len(nodes), epos))
-            vn_nodes.append(nodes)
-            vnG_edge_orig.append(block_edges(g.vn_edge_idx[d]))
-            npos += len(nodes)
-            epos += nodes.size * d
+            n, n_pad = len(nodes), pad(len(nodes))
+            vn_blocks.append(Block(d, npos, n, epos, n_pad))
+            vn_nodes.append(np.concatenate(
+                [nodes, np.full(n_pad - n, -1, dtype=nodes.dtype)]))
+            self.vn_node_pos[nodes] = npos + np.arange(n, dtype=np.int32)
+            vnG_edge_orig.append(block_edges(g.vn_edge_idx[d], n_pad))
+            npos += n_pad
+            epos += n_pad * d
         self.vn_blocks = vn_blocks
-        self.vn_nodes = np.concatenate(vn_nodes)  # (nvar,)
-        vnG_edge_orig = np.concatenate(vnG_edge_orig)  # (E,)
-
-        # position of variable v in grouped node order
-        self.vn_node_pos = np.empty(g.nvar, dtype=np.int32)
-        self.vn_node_pos[self.vn_nodes] = np.arange(g.nvar, dtype=np.int32)
+        self.nvar_pad = npos
+        self.num_edges_vn = epos
+        vn_nodes = np.concatenate(vn_nodes)  # (nvar_pad,)
+        self.vn_nodes = np.where(vn_nodes < 0, 0, vn_nodes)
+        vnG_edge_orig = np.concatenate(vnG_edge_orig)  # (E_vn_pad,)
 
         # --- CN-grouped order -------------------------------------------
         cn_blocks: list[Block] = []
         cnG_edge_orig = []
-        cn_var_natural = []  # variable id of each cn-grouped edge
+        cn_var_natural = []  # variable id of each cn-grouped edge (-1 pads)
         npos = epos = 0
         for d in g.cn_degrees:
             d = int(d)
             nodes = g.cn_node_idx[d]
-            cn_blocks.append(Block(d, npos, len(nodes), epos))
-            cnG_edge_orig.append(block_edges(g.cn_edge_idx[d]))
-            cn_var_natural.append(
-                g.cn_var_idx[d].T.reshape(-1) if slot_major
-                else g.cn_var_idx[d].reshape(-1)
-            )
-            npos += len(nodes)
-            epos += nodes.size * d
+            n, n_pad = len(nodes), pad(len(nodes))
+            cn_blocks.append(Block(d, npos, n, epos, n_pad))
+            cnG_edge_orig.append(block_edges(g.cn_edge_idx[d], n_pad))
+            cn_var_natural.append(block_edges(g.cn_var_idx[d], n_pad))
+            npos += n_pad
+            epos += n_pad * d
         self.cn_blocks = cn_blocks
+        self.nchk_pad = npos
+        self.num_edges_cn = epos
         cnG_edge_orig = np.concatenate(cnG_edge_orig)
 
         # --- permutations ------------------------------------------------
         inv_vnG = np.empty(g.num_edges, dtype=np.int64)
-        inv_vnG[vnG_edge_orig] = np.arange(g.num_edges)
+        inv_vnG[vnG_edge_orig[vnG_edge_orig >= 0]] = np.nonzero(
+            vnG_edge_orig >= 0
+        )[0]
         inv_cnG = np.empty(g.num_edges, dtype=np.int64)
-        inv_cnG[cnG_edge_orig] = np.arange(g.num_edges)
+        inv_cnG[cnG_edge_orig[cnG_edge_orig >= 0]] = np.nonzero(
+            cnG_edge_orig >= 0
+        )[0]
         # cn-grouped position -> vn-grouped position of the same edge
-        self.perm_v2c = inv_vnG[cnG_edge_orig].astype(np.int32)
+        self.perm_v2c = np.where(
+            cnG_edge_orig >= 0, inv_vnG[cnG_edge_orig], 0
+        ).astype(np.int32)
         # vn-grouped position -> cn-grouped position
-        self.perm_c2v = inv_cnG[vnG_edge_orig].astype(np.int32)
+        self.perm_c2v = np.where(
+            vnG_edge_orig >= 0, inv_cnG[vnG_edge_orig], 0
+        ).astype(np.int32)
 
         # grouped-bit-vector positions of each cn-grouped edge's variable
         # (for the final syndrome check on decision bits)
-        self.cn_var_pos = self.vn_node_pos[np.concatenate(cn_var_natural)].astype(
-            np.int32
-        )
+        cn_var_natural = np.concatenate(cn_var_natural)
+        self.cn_var_pos = np.where(
+            cn_var_natural >= 0, self.vn_node_pos[cn_var_natural], 0
+        ).astype(np.int32)
 
 
 def _mixed_radix_digits(n: int, radices: list[int]) -> np.ndarray:
