@@ -27,13 +27,21 @@ def build_codec(nvar=10000, max_iters=50):
     de_sim; the reference designs at/near threshold, cf.
     params/ber.ini.irregular.example design_thr)."""
     from lut_ldpc_tpu.core.alist import read_alist
+    from lut_ldpc_tpu.core.qc import load_qc, qc_expand
     from lut_ldpc_tpu.core.tanner import TannerGraph
     from lut_ldpc_tpu.decoder import LUTCodec
     from lut_ldpc_tpu.ops.pmf import snr2sig
 
     here = os.path.dirname(os.path.abspath(__file__))
+    qc_json = os.path.join(here, "codes", "rate0.50_dv03_dc06_N10000_qc.qc.json")
     own_alist = os.path.join(here, "codes", "rate0.50_dv03_dc06_N10000.alist")
-    if os.path.exists(own_alist) and nvar == 10000:
+    if os.path.exists(qc_json) and nvar == 10000 and not os.environ.get(
+            "BENCH_NO_QC"):
+        # girth-8 quasi-cyclic (3,6) code (core/qc.py): same N/rate/ensemble
+        # => identical designed LUTs; circulant structure turns the decode
+        # permutation into rolls (the TPU-native construction)
+        graph = qc_expand(load_qc(qc_json))
+    elif os.path.exists(own_alist) and nvar == 10000:
         graph = TannerGraph.from_dense(read_alist(own_alist))
     else:
         rng = np.random.default_rng(1)

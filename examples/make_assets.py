@@ -138,6 +138,9 @@ def main():
         jobs.append((ens_irr, 5000, 10000,
                      "rate0.50_dv02-17_dc08-09_lut_q4_N10000.alist"))
     for ens, M, N, name in jobs:
+        if os.path.exists(os.path.join(codes_dir, name)):
+            print(f"PEG: {name} exists, skipping", flush=True)
+            continue
         print(f"PEG: {name} ...", flush=True)
         graph, lg = peg_code_from_ensemble(ens, M, N, seed=20260817)
         write_alist(os.path.join(codes_dir, name), graph_to_H(graph))

@@ -92,34 +92,34 @@ def main():
     # gathers only (plus a trivial op to defeat DCE of the permute pair)
     def body_g(c, x):
         m, d = c
-        mc = jnp.take(m, dec._perm_v2c, axis=0)
-        mn = jnp.take(mc, dec._perm_c2v, axis=0)
+        mc = dec._permute_v2c(m)
+        mn = dec._permute_c2v(mc)
         return (mn, d), None
     variants["gathers only"] = scan_of(body_g)
 
     def body_gc(c, x):
         m, d = c
-        mc = jnp.take(m, dec._perm_v2c, axis=0)
+        mc = dec._permute_v2c(m)
         mc = cn_pass(mc)
-        mn = jnp.take(mc, dec._perm_c2v, axis=0)
+        mn = dec._permute_c2v(mc)
         return (mn, d), None
     variants["gathers+CN"] = scan_of(body_gc)
 
     def body_gcv(c, x):
         m, d = c
-        mc = jnp.take(m, dec._perm_v2c, axis=0)
+        mc = dec._permute_v2c(m)
         mc = cn_pass(mc)
-        mn = jnp.take(mc, dec._perm_c2v, axis=0)
+        mn = dec._permute_c2v(mc)
         return (vn_pass(mn, x), d), None
     variants["gathers+CN+VN"] = scan_of(body_gcv)
 
     def body_full(c, x):
         m, d = c
-        mc = jnp.take(m, dec._perm_v2c, axis=0)
+        mc = dec._permute_v2c(m)
         _, conv = conv_check(m, mc)
         d = d | conv
         mc = cn_pass(mc)
-        mn = jnp.take(mc, dec._perm_c2v, axis=0)
+        mn = dec._permute_c2v(mc)
         return (vn_pass(mn, x), d), None
     variants["full body"] = scan_of(body_full)
 

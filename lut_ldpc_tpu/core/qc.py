@@ -1,0 +1,161 @@
+"""Quasi-cyclic LDPC construction: the TPU-native code family.
+
+The reference constructs unstructured PEG codes (peg/BigGirth.C) whose
+Tanner-graph message permutation is an arbitrary row gather — on TPU that
+gather is DMA-issue-rate-bound (~100 ns/row), ~5x off HBM bandwidth, and
+dominates decode time.  A quasi-cyclic code's permutation decomposes into
+per-circulant cyclic shifts: contiguous `jnp.roll` copies that XLA fuses
+into the adjacent compute passes at full memory bandwidth.  QC-LDPC is the
+standard deployed construction (802.11n/802.16e/5G-NR all use it) and its
+BER at matched degree distributions is on par with PEG; the LUT design
+path is untouched (LUTs depend only on the ensemble and design sigma,
+LDPC_Code_LUT.cpp:699-746).
+
+H is an (mb x nb) grid of Z x Z blocks; entry s >= 0 denotes the circulant
+C_s with C_s[z', z] = 1 iff z' == (z + s) mod Z, entry -1 a zero block.
+Shift selection is greedy-random subject to the standard cycle conditions
+(Fossorier 2004): a length-2k cycle through circulants (i_1,j_1), (i_2,
+j_1), (i_2,j_2), ..., (i_1,j_k) exists iff the alternating shift sum is
+divisible by Z; we forbid 4- and 6-cycles, giving girth >= 8.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+
+from .tanner import TannerGraph
+
+__all__ = ["QCStructure", "qc_expand", "qc_generate_regular", "save_qc",
+           "load_qc"]
+
+
+@dataclass(frozen=True)
+class QCStructure:
+    Z: int
+    mb: int  # base rows (check blocks)
+    nb: int  # base cols (variable blocks)
+    base: np.ndarray  # (mb, nb) int32 shifts, -1 = zero block
+
+    @property
+    def nvar(self) -> int:
+        return self.nb * self.Z
+
+    @property
+    def nchk(self) -> int:
+        return self.mb * self.Z
+
+    def circulants(self):
+        """list of (i, j, s) with s >= 0, row-major order."""
+        ii, jj = np.nonzero(self.base >= 0)
+        return [(int(i), int(j), int(self.base[i, j])) for i, j in zip(ii, jj)]
+
+
+def qc_expand(qc: QCStructure) -> TannerGraph:
+    """Expand to a TannerGraph; the QC structure rides along as graph.qc."""
+    Z = qc.Z
+    cols: list[np.ndarray] = []
+    for j in range(qc.nb):
+        rows = np.nonzero(qc.base[:, j] >= 0)[0]
+        shifts = qc.base[rows, j]
+        for z in range(Z):
+            checks = rows * Z + (z + shifts) % Z
+            cols.append(np.sort(checks).astype(np.int64))
+    g = TannerGraph.from_cols(cols, qc.nvar, qc.nchk)
+    g.qc = qc  # dataclass attr injection; consumers check getattr
+    return g
+
+
+def _forbidden_shifts(base, Z, i, j, girth):
+    """Residues s that would close a 4-cycle (and, for girth >= 8, a
+    6-cycle) through block (i, j), given the already-assigned shifts.
+
+    4-cycle: s == base[i2,j] - base[i2,q] + base[i,q]  (mod Z)
+    6-cycle: s == base[i2,j] + (base[i3,q2] - base[i2,q2])
+                           + (base[i,q3] - base[i3,q3])  (mod Z)
+    over distinct rows/cols with all participating circulants assigned.
+    The q2 != q3 requirement is dropped (strictly conservative: it only
+    forbids extra residues, never misses a cycle)."""
+    mb, nb = base.shape
+    m = base.copy()
+    m[:, j] = -1  # exclude column j from the cross-column differences
+    forb: set[int] = set()
+
+    col_j = base[:, j]
+    rows2 = [i2 for i2 in range(mb) if i2 != i and col_j[i2] >= 0]
+    # pairwise difference sets D[a, b] = {base[a,q] - base[b,q]} over
+    # columns q != j where both are assigned
+    both = (m >= 0)
+
+    def diffs(a, b):
+        q = both[a] & both[b]
+        return (m[a, q] - m[b, q]) if q.any() else np.zeros(0, dtype=np.int64)
+
+    for i2 in rows2:
+        # 4-cycles through (i, j) and (i2, j)
+        d = diffs(i, i2)  # base[i,q] - base[i2,q]
+        if d.size:
+            forb.update(((col_j[i2] + d) % Z).tolist())
+        if girth < 8:
+            continue
+        for i3 in range(mb):
+            if i3 == i or i3 == i2:
+                continue
+            d2 = diffs(i3, i2)  # base[i3,q2] - base[i2,q2]
+            d3 = diffs(i, i3)  # base[i,q3] - base[i3,q3]
+            if d2.size and d3.size:
+                vals = (col_j[i2] + d2[:, None] + d3[None, :]) % Z
+                forb.update(vals.ravel().tolist())
+    return forb
+
+
+def qc_generate_regular(dv: int, dc: int, Z: int, nb: int,
+                        seed: int = 1, girth: int = 8) -> QCStructure:
+    """Regular (dv, dc) QC code: nb variable blocks, mb = nb*dv/dc check
+    blocks, all-weight-1 circulants, greedy girth-conditioned shifts."""
+    if (nb * dv) % dc:
+        raise ValueError("nb*dv must be divisible by dc")
+    mb = nb * dv // dc
+    rng = np.random.default_rng(seed)
+
+    # balanced base graph: each col picks dv distinct rows, each row ends
+    # with exactly dc cols (configuration-model with retries)
+    for _ in range(10000):
+        slots = rng.permutation(np.repeat(np.arange(mb), dc))
+        cols_rows = slots.reshape(nb, dv)
+        if all(len(set(r)) == dv for r in cols_rows):
+            break
+    else:  # deterministic fallback: cyclic row assignment
+        cols_rows = np.array(
+            [[(j + k * (mb // dv if mb % dv else mb // dv)) % mb
+              for k in range(dv)] for j in range(nb)]
+        )
+    base = np.full((mb, nb), -1, dtype=np.int64)
+    order = [(int(r), j) for j in range(nb) for r in cols_rows[j]]
+    for i, j in order:
+        forb = _forbidden_shifts(base, Z, i, j, girth)
+        allowed = [s for s in range(Z) if s not in forb]
+        if not allowed and girth >= 8:  # relax this circulant to girth 6
+            forb = _forbidden_shifts(base, Z, i, j, 6)
+            allowed = [s for s in range(Z) if s not in forb]
+        if not allowed:
+            raise RuntimeError(
+                f"no 4-cycle-free shift at block ({i},{j}); increase Z"
+            )
+        base[i, j] = int(rng.choice(allowed))
+    return QCStructure(Z=Z, mb=mb, nb=nb, base=base.astype(np.int64))
+
+
+def save_qc(path: str, qc: QCStructure) -> None:
+    with open(path, "w") as f:
+        json.dump({"Z": qc.Z, "mb": qc.mb, "nb": qc.nb,
+                   "base": qc.base.tolist()}, f)
+
+
+def load_qc(path: str) -> QCStructure:
+    with open(path) as f:
+        d = json.load(f)
+    return QCStructure(Z=int(d["Z"]), mb=int(d["mb"]), nb=int(d["nb"]),
+                       base=np.asarray(d["base"], dtype=np.int64))

@@ -76,6 +76,14 @@ class ArithLUTDecoder:
         self.layout = GroupedLayout(codec.graph, slot_major=True, align=16)
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
             raise ValueError("arith spec degrees do not match graph blocks")
+        self._qc_plan = None
+        qc = getattr(codec.graph, "qc", None)
+        if qc is not None:
+            # roll-decomposed permutation (validated exact in qc_roll_plan):
+            # contiguous copies instead of a row gather — the gather is
+            # DMA-issue-bound at ~150 GB/s, rolls run at full HBM bandwidth
+            self._qc_plan = self.layout.qc_roll_plan(qc)
+            self._qc = qc
         self._build_constants()
         self._decode = jax.jit(self._build())
 
@@ -137,6 +145,49 @@ class ArithLUTDecoder:
                     ops_xs.append(prm)
             self._var_xs.append(ops_xs)
         self._dec_specs = self.spec.dec_trees
+
+    # ------------------------------------------------------------------
+    def _permute_v2c(self, m):
+        """VN-grouped (E, B) -> CN-grouped (E, B); rolls when QC.
+
+        Pad rows of the output planes are filled with zeros (they are
+        masked out of every reduction; the gather path fills them with row
+        0's values instead — equally arbitrary)."""
+        if self._qc_plan is None:
+            return jnp.take(m, self._perm_v2c, axis=0)
+        qc, B = self._qc, m.shape[1]
+        Z = qc.Z
+        vb, cb = self.layout.vn_blocks[0], self.layout.cn_blocks[0]
+        v = m.reshape(vb.degree, vb.n_pad, B)
+        by_li = {(l, i): (k, j, s) for k, j, l, i, s in self._qc_plan}
+        pad = cb.n_pad - cb.num_nodes
+        filler = [jnp.zeros((pad, B), m.dtype)] if pad else []
+        parts = []
+        for l in range(cb.degree):
+            for i in range(qc.mb):
+                k, j, s = by_li[(l, i)]
+                parts.append(jnp.roll(v[k, j * Z : (j + 1) * Z], s, axis=0))
+            parts.extend(filler)
+        return jnp.concatenate(parts, axis=0)
+
+    def _permute_c2v(self, m):
+        """CN-grouped (E, B) -> VN-grouped (E, B); inverse rolls when QC."""
+        if self._qc_plan is None:
+            return jnp.take(m, self._perm_c2v, axis=0)
+        qc, B = self._qc, m.shape[1]
+        Z = qc.Z
+        vb, cb = self.layout.vn_blocks[0], self.layout.cn_blocks[0]
+        c = m.reshape(cb.degree, cb.n_pad, B)
+        by_kj = {(k, j): (l, i, s) for k, j, l, i, s in self._qc_plan}
+        pad = vb.n_pad - vb.num_nodes
+        filler = [jnp.zeros((pad, B), m.dtype)] if pad else []
+        parts = []
+        for k in range(vb.degree):
+            for j in range(qc.nb):
+                l, i, s = by_kj[(k, j)]
+                parts.append(jnp.roll(c[l, i * Z : (i + 1) * Z], -s, axis=0))
+            parts.extend(filler)
+        return jnp.concatenate(parts, axis=0)
 
     # ------------------------------------------------------------------
     def _vn_blocks_of(self, m):
@@ -315,7 +366,7 @@ class ArithLUTDecoder:
             def body(carry, x):
                 m_vn, done, latched, iters = carry
                 it = x["it"]
-                m_cn = jnp.take(m_vn, self._perm_v2c, axis=0)
+                m_cn = self._permute_v2c(m_vn)
                 if early_exit:
                     bits, conv = convergence(m_vn, m_cn)
                     conv = conv & (it >= 1) & ~done
@@ -326,7 +377,7 @@ class ArithLUTDecoder:
                 for m in self._cn_blocks_of(m_cn):
                     outs.append(self._cn_minsum_values(m).reshape(-1, B))
                 m_cn = jnp.concatenate(outs, axis=0)
-                m_new = jnp.take(m_cn, self._perm_c2v, axis=0)
+                m_new = self._permute_c2v(m_cn)
                 outs = []
                 for bi, blk in enumerate(lay.vn_blocks):
                     d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
@@ -343,7 +394,7 @@ class ArithLUTDecoder:
                 body, (m_vn, done, latched, iters), xs
             )
 
-            m_cn = jnp.take(m_vn, self._perm_v2c, axis=0)
+            m_cn = self._permute_v2c(m_vn)
             if early_exit and self.S >= 1:
                 # covers the VN output of the last scan step
                 bits, conv = convergence(m_vn, m_cn)
@@ -359,7 +410,7 @@ class ArithLUTDecoder:
             for m in self._cn_blocks_of(m_cn):
                 outs.append(self._cn_minsum_values(m).reshape(-1, B))
             m_cn = jnp.concatenate(outs, axis=0)
-            m_fin = jnp.take(m_cn, self._perm_c2v, axis=0)
+            m_fin = self._permute_c2v(m_cn)
 
             dec_bits = []
             for bi, blk in enumerate(lay.vn_blocks):

@@ -157,6 +157,49 @@ class GroupedLayout:
             cn_var_natural >= 0, self.vn_node_pos[cn_var_natural], 0
         ).astype(np.int32)
 
+    # ------------------------------------------------------------------
+    def qc_roll_plan(self, qc):
+        """Per-circulant roll decomposition of perm_v2c for a quasi-cyclic
+        graph (core/qc.py): entries (vn_plane k, var block j, cn_plane l,
+        chk block i, shift s) such that
+
+            m_cn[l*nchk + i*Z + z'] = m_vn[k*nvar + j*Z + (z'-s) % Z]
+
+        i.e. CN plane segment (l, i) = roll(VN plane segment (k, j), s).
+        Valid only for a regular single-degree-block slot-major layout with
+        no padding; VALIDATED against perm_v2c (returns None when the
+        layout does not admit the decomposition — callers fall back to the
+        gather path)."""
+        if not self.slot_major:
+            return None
+        if len(self.vn_blocks) != 1 or len(self.cn_blocks) != 1:
+            return None
+        vb, cb = self.vn_blocks[0], self.cn_blocks[0]
+        Z, mb, nb = qc.Z, qc.mb, qc.nb
+        if vb.num_nodes != nb * Z or cb.num_nodes != mb * Z:
+            return None
+        circ = qc.circulants()
+        col_rows = {j: sorted((ci, cs) for ci, cj, cs in circ if cj == j)
+                    for j in range(nb)}
+        row_cols = {i: sorted(cj for ci, cj, _ in circ if ci == i)
+                    for i in range(mb)}
+        plan = []
+        for j in range(nb):
+            for k, (i, s) in enumerate(col_rows[j]):
+                l = row_cols[i].index(j)
+                plan.append((k, j, l, i, s))
+        # exact validation on REAL rows: reconstruct perm_v2c from the plan
+        # (plane strides are the padded node counts; pad rows are never read)
+        nvp, ncp = vb.n_pad, cb.n_pad
+        perm = np.full(self.num_edges_cn, -1, dtype=np.int64)
+        zp = np.arange(Z)
+        for k, j, l, i, s in plan:
+            perm[l * ncp + i * Z + zp] = k * nvp + j * Z + (zp - s) % Z
+        real = perm >= 0
+        if not np.array_equal(perm[real], self.perm_v2c.astype(np.int64)[real]):
+            return None
+        return plan
+
 
 def _mixed_radix_digits(n: int, radices: list[int]) -> np.ndarray:
     """(n, len(radices)) digit table, radix 0 least significant."""

@@ -91,11 +91,25 @@ def _cn_kernel(m_ref, o_ref, synd_ref, *, d, n_real, NT, BT, out_dtype):
         flip = neg_par ^ (mj < 0)
         o_ref[j] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
 
-    # syndrome partial: parity of input signs, padded rows forced OK
-    i = pl.program_id(0)
+    # syndrome partial: parity of input signs, padded rows forced OK;
+    # accumulated across node tiles (innermost grid dim -> block stays
+    # VMEM-resident; 8 broadcast rows satisfy the (8, 128) tiling)
+    ib = pl.program_id(1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (NT, BT), 0)
-    ok = (~neg_par) | (rows >= n_real - i * NT)
-    synd_ref[0, :] = jnp.all(ok, axis=0).astype(jnp.int8)
+    ok = (~neg_par) | (rows >= n_real - ib * NT)
+    # reduce in int32 (min == logical AND; Mosaic supports neither i1 row
+    # broadcasts nor int8 reductions), cast to int8 only after broadcast
+    part = jnp.broadcast_to(
+        jnp.min(ok.astype(jnp.int32), axis=0, keepdims=True), (8, BT)
+    ).astype(jnp.int8)
+
+    @pl.when(ib == 0)
+    def _():
+        synd_ref[...] = part
+
+    @pl.when(ib != 0)
+    def _():
+        synd_ref[...] = synd_ref[...] & part
 
 
 def cn_pass(m3, n_real: int):
@@ -109,7 +123,7 @@ def cn_pass(m3, n_real: int):
     """
     d, n_pad, B = m3.shape
     NT, BT = _tile_sizes(d, B)
-    grid = (pl.cdiv(n_pad, NT), pl.cdiv(B, BT))
+    grid = (pl.cdiv(B, BT), pl.cdiv(n_pad, NT))  # batch outer, nodes inner
     kern = functools.partial(
         _cn_kernel, d=d, n_real=n_real, NT=NT, BT=BT, out_dtype=m3.dtype
     )
@@ -117,23 +131,23 @@ def cn_pass(m3, n_real: int):
         kern,
         out_shape=[
             jax.ShapeDtypeStruct((d, n_pad, B), m3.dtype),
-            jax.ShapeDtypeStruct((grid[0], B), jnp.int8),
+            jax.ShapeDtypeStruct((8, B), jnp.int8),
         ],
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((d, NT, BT), lambda i, j: (0, i, j),
+                pl.BlockSpec((d, NT, BT), lambda jb, ib: (0, ib, jb),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((d, NT, BT), lambda i, j: (0, i, j),
+                pl.BlockSpec((d, NT, BT), lambda jb, ib: (0, ib, jb),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BT), lambda i, j: (i, j),
+                pl.BlockSpec((8, BT), lambda jb, ib: (0, jb),
                              memory_space=pltpu.VMEM),
             ],
         ),
     )(m3)
-    return out, jnp.all(synd != 0, axis=0)
+    return out, synd[0] != 0
 
 
 # ---------------------------------------------------------------------------
@@ -194,10 +208,20 @@ def _vn_kernel(m_ref, cha_ref, *refs, ops, d, loo, use_tot, n_real, NT, BT,
     bits_ref[...] = neg0.astype(jnp.int8)
     if agree is None:  # d == 1
         agree = jnp.ones((NT, BT), bool)
-    i0 = pl.program_id(0)
+    ib = pl.program_id(1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (NT, BT), 0)
-    agree = agree | (rows >= n_real - i0 * NT)
-    unan_ref[0, :] = jnp.all(agree, axis=0).astype(jnp.int8)
+    agree = agree | (rows >= n_real - ib * NT)
+    part = jnp.broadcast_to(
+        jnp.min(agree.astype(jnp.int32), axis=0, keepdims=True), (8, BT)
+    ).astype(jnp.int8)
+
+    @pl.when(ib == 0)
+    def _():
+        unan_ref[...] = part
+
+    @pl.when(ib != 0)
+    def _():
+        unan_ref[...] = unan_ref[...] & part
 
 
 def vn_pass(m3, cha, struct, prm, loo, use_tot, n_real: int):
@@ -214,7 +238,7 @@ def vn_pass(m3, cha, struct, prm, loo, use_tot, n_real: int):
     """
     d, n_pad, B = m3.shape
     NT, BT = _tile_sizes(d, B)
-    grid = (pl.cdiv(n_pad, NT), pl.cdiv(B, BT))
+    grid = (pl.cdiv(B, BT), pl.cdiv(n_pad, NT))  # batch outer, nodes inner
     ops_static = tuple(
         (tuple(int(x) for x in op.operands), int(prm[oi]["thr"].shape[-1]))
         for oi, op in enumerate(struct.ops)
@@ -226,9 +250,9 @@ def vn_pass(m3, cha, struct, prm, loo, use_tot, n_real: int):
     )
     param_args = []
     in_specs = [
-        pl.BlockSpec((d, NT, BT), lambda i, j: (0, i, j),
+        pl.BlockSpec((d, NT, BT), lambda jb, ib: (0, ib, jb),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((NT, BT), lambda i, j: (i, j),
+        pl.BlockSpec((NT, BT), lambda jb, ib: (ib, jb),
                      memory_space=pltpu.VMEM),
     ]
     for oi in range(len(struct.ops)):
@@ -237,7 +261,7 @@ def vn_pass(m3, cha, struct, prm, loo, use_tot, n_real: int):
             a = jnp.asarray(p[key], jnp.float32).reshape(1, -1)
             param_args.append(a)
             in_specs.append(
-                pl.BlockSpec(a.shape, lambda i, j: (0, 0),
+                pl.BlockSpec(a.shape, lambda jb, ib: (0, 0),
                              memory_space=pltpu.SMEM)
             )
     out, bits, unan = pl.pallas_call(
@@ -245,19 +269,19 @@ def vn_pass(m3, cha, struct, prm, loo, use_tot, n_real: int):
         out_shape=[
             jax.ShapeDtypeStruct((d, n_pad, B), m3.dtype),
             jax.ShapeDtypeStruct((n_pad, B), jnp.int8),
-            jax.ShapeDtypeStruct((grid[0], B), jnp.int8),
+            jax.ShapeDtypeStruct((8, B), jnp.int8),
         ],
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((d, NT, BT), lambda i, j: (0, i, j),
+                pl.BlockSpec((d, NT, BT), lambda jb, ib: (0, ib, jb),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((NT, BT), lambda i, j: (i, j),
+                pl.BlockSpec((NT, BT), lambda jb, ib: (ib, jb),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BT), lambda i, j: (i, j),
+                pl.BlockSpec((8, BT), lambda jb, ib: (0, jb),
                              memory_space=pltpu.VMEM),
             ],
         ),
     )(m3, cha, *param_args)
-    return out, bits.astype(jnp.uint8), jnp.all(unan != 0, axis=0)
+    return out, bits.astype(jnp.uint8), unan[0] != 0
