@@ -112,9 +112,17 @@ def _forbidden_shifts(base, Z, i, j, girth):
 
 
 def qc_generate_regular(dv: int, dc: int, Z: int, nb: int,
-                        seed: int = 1, girth: int = 8) -> QCStructure:
+                        seed: int = 1, girth: int = 8,
+                        shift_step: int = 1) -> QCStructure:
     """Regular (dv, dc) QC code: nb variable blocks, mb = nb*dv/dc check
-    blocks, all-weight-1 circulants, greedy girth-conditioned shifts."""
+    blocks, all-weight-1 circulants, greedy girth-conditioned shifts.
+
+    shift_step restricts shifts to multiples of the step.  WARNING: with
+    step > 1 and step | Z, z mod step is invariant along every edge, so
+    the expanded graph decomposes into `step` disconnected length-N/step
+    subcodes with correspondingly worse waterfalls — decoder/qc_kernels.py
+    handles arbitrary shifts (aligned-window DMA + realign slice), so
+    there is no reason to use step != 1."""
     if (nb * dv) % dc:
         raise ValueError("nb*dv must be divisible by dc")
     mb = nb * dv // dc
@@ -134,18 +142,25 @@ def qc_generate_regular(dv: int, dc: int, Z: int, nb: int,
         )
     base = np.full((mb, nb), -1, dtype=np.int64)
     order = [(int(r), j) for j in range(nb) for r in cols_rows[j]]
+    if Z % shift_step:
+        raise ValueError("shift_step must divide Z")
+    cand_all = range(0, Z, shift_step)
+    relaxed = 0
     for i, j in order:
         forb = _forbidden_shifts(base, Z, i, j, girth)
-        allowed = [s for s in range(Z) if s not in forb]
+        allowed = [s for s in cand_all if s not in forb]
         if not allowed and girth >= 8:  # relax this circulant to girth 6
             forb = _forbidden_shifts(base, Z, i, j, 6)
-            allowed = [s for s in range(Z) if s not in forb]
+            allowed = [s for s in cand_all if s not in forb]
+            relaxed += 1
         if not allowed:
             raise RuntimeError(
                 f"no 4-cycle-free shift at block ({i},{j}); increase Z"
             )
         base[i, j] = int(rng.choice(allowed))
-    return QCStructure(Z=Z, mb=mb, nb=nb, base=base.astype(np.int64))
+    qc = QCStructure(Z=Z, mb=mb, nb=nb, base=base.astype(np.int64))
+    object.__setattr__(qc, "relaxed_circulants", relaxed)
+    return qc
 
 
 def save_qc(path: str, qc: QCStructure) -> None:

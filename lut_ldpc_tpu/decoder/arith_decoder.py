@@ -85,7 +85,20 @@ class ArithLUTDecoder:
             self._qc_plan = self.layout.qc_roll_plan(qc)
             self._qc = qc
         self._build_constants()
-        self._decode = jax.jit(self._build())
+        self._decode = jax.jit(self._build_qc_pallas() or self._build())
+
+    def _use_qc_kernels(self) -> bool:
+        """Fused Pallas path: QC graph (arbitrary shifts), int16 spec,
+        single degree block, running on a real TPU."""
+        from .qc_kernels import qc_kernels_supported
+
+        if self._qc_plan is None or not self._is_int:
+            return False
+        if len(self.layout.vn_blocks) != 1 or len(self.layout.cn_blocks) != 1:
+            return False
+        if self._qc.Z % 8:
+            return False
+        return qc_kernels_supported()
 
     # ------------------------------------------------------------------
     def _build_constants(self):
@@ -448,6 +461,112 @@ class ArithLUTDecoder:
                 pos += n * d
             ok = done | s_ok
             bits = jnp.take(bits_grp, self._vn_node_pos, axis=0).T  # (B, nvar)
+            return bits, ok, iters
+
+        return decode
+
+    # ------------------------------------------------------------------
+    def _build_qc_pallas(self):
+        """Fused-kernel decode loop for the QC+int16 case (qc_kernels.py):
+        one CN kernel (v2c rolls + two-min + syndrome) and one VN kernel
+        (c2v rolls + threshold trees + bits/unanimity) per iteration —
+        four HBM passes total.  Returns None when unsupported; outputs are
+        bit-identical to _build() (enforced by the equivalence suites)."""
+        if not self._use_qc_kernels():
+            return None
+        from . import qc_kernels as qk
+
+        lay = self.layout
+        qc = self._qc
+        vb, cb = lay.vn_blocks[0], lay.cn_blocks[0]
+        Z, nb, mb = qc.Z, qc.nb, qc.mb
+        plan = self._qc_plan
+        T = self.T
+        early_exit = self.early_exit
+        struct = self._var_struct[0]
+        dv = vb.degree
+        use_tot = struct.ops[0].operands == tuple(range(dv - 1)) and dv >= 3
+        nreal = vb.num_nodes  # == nb * Z
+        PKEYS = ("thr", "levels", "tie_lo", "tie_hi")
+
+        def decode(llr_cha, llr_msg):
+            B = llr_cha.shape[0]
+            cha_lab = llr_cha[:, self._vn_nodes].T  # (nvp, B) grouped
+            msg_lab = llr_msg[:, self._vn_nodes].T
+            vcha = self._select_values(cha_lab, self._leaf_cha)
+            v0 = self._select_values(msg_lab, self._leaf_msg0)
+            m_vn = jnp.broadcast_to(v0[None], (dv, vb.n_pad, B))
+            m_vn = m_vn + jnp.zeros((), self._dtype)  # concretize for scan
+
+            bits_p = jnp.zeros((nreal, B), dtype=jnp.uint8)
+            unan_p = jnp.zeros((B,), dtype=bool)
+            done = jnp.zeros((B,), dtype=bool)
+            latched = jnp.zeros((nreal, B), dtype=jnp.uint8)
+            iters = jnp.full((B,), T, dtype=jnp.int32)
+
+            xs = dict(it=jnp.arange(self.S, dtype=jnp.int32),
+                      var=self._var_xs)
+
+            def body(carry, x):
+                m_vn, bits_p, unan_p, done, latched, iters = carry
+                it = x["it"]
+                m_cn, synd = qk.cn_qc_pass(m_vn, plan, Z, mb, cb.n_pad)
+                if early_exit:
+                    conv = unan_p & synd & (it >= 1) & ~done
+                    latched = jnp.where(conv[None, :], bits_p, latched)
+                    iters = jnp.where(conv, it, iters)
+                    done = done | conv
+                prm_it = [{k: op[k] for k in PKEYS} for op in x["var"][0]]
+                m_vn, bits_p, unan_p = qk.vn_qc_pass(
+                    m_cn, vcha, plan, Z, nb, vb.n_pad, struct, prm_it,
+                    use_tot)
+                return (m_vn, bits_p, unan_p, done, latched, iters), None
+
+            (m_vn, bits_p, unan_p, done, latched, iters), _ = jax.lax.scan(
+                body, (m_vn, bits_p, unan_p, done, latched, iters), xs
+            )
+
+            m_cn, synd = qk.cn_qc_pass(m_vn, plan, Z, mb, cb.n_pad)
+            if early_exit and self.S >= 1:
+                conv = unan_p & synd & ~done
+                latched = jnp.where(conv[None, :], bits_p, latched)
+                iters = jnp.where(conv, self.S, iters)
+                done = done | conv
+
+            if self.is_prefix:
+                bits = jnp.take(latched, self._vn_node_pos, axis=0).T
+                return bits, done, iters
+
+            # XLA tail (once per decode): c2v of the kernel's CN-updated
+            # messages, then the DECTREE decision pass
+            m_fin = self._permute_c2v(m_cn.reshape(-1, B))
+            d, n = vb.degree, vb.n_pad
+            m = m_fin.reshape(d, n, B)
+            spec = self._dec_specs[0]
+            x_vals = [m[j2] for j2 in range(d)] + [vcha]
+            prm = []
+            for op in spec.ops:
+                p = dict(thr=jnp.asarray(op.thresholds),
+                         levels=jnp.asarray(op.levels),
+                         tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
+                         tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)))
+                if self._is_int:
+                    lv = np.asarray(op.levels, np.int64)
+                    p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
+                    p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
+                prm.append(p)
+            out = self._eval_tree(spec, x_vals, prm)  # (n_pad, B)
+            dec_bits = (out < 0).astype(jnp.uint8)[:nreal]
+
+            bits_grp = jnp.where(done[None, :], latched, dec_bits)
+            edge_bits = jnp.take(bits_grp, self._cn_var_pos, axis=0)
+            dcb, ncb = cb.degree, cb.n_pad
+            s = jnp.sum(
+                edge_bits.reshape(dcb, ncb, B).astype(jnp.int32), axis=0
+            ) & 1
+            s_ok = jnp.all((s == 0) | self._cn_padmask[0][:, None], axis=0)
+            ok = done | s_ok
+            bits = jnp.take(bits_grp, self._vn_node_pos, axis=0).T
             return bits, ok, iters
 
         return decode
