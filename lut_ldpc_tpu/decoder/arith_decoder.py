@@ -323,7 +323,17 @@ class ArithLUTDecoder:
         return v
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _raw_carry_fn(self):
+        """Unjitted (llr_cha, llr_msg) -> (m_vn values (E_pad, B)
+        slot-major, done, latched, iters) at loop exit, BEFORE the
+        post-loop convergence check — the hand-off point for
+        HybridLUTDecoder's label-domain continuation tail."""
+        if not self.early_exit:
+            raise ValueError("raw carry requires early_exit")
+        return self._build_qc_pallas(raw=True) or self._build(raw=True)
+
+    # ------------------------------------------------------------------
+    def _build(self, raw: bool = False):
         lay = self.layout
         T = self.T
         early_exit = self.early_exit
@@ -403,13 +413,45 @@ class ArithLUTDecoder:
                 # above and later state is never read (output-identical)
                 return (m_vn, done, latched, iters), None
 
-            (m_vn, done, latched, iters), _ = jax.lax.scan(
-                body, (m_vn, done, latched, iters), xs
-            )
+            if early_exit and self.S > 0:
+                # true early exit: stop the loop once every frame in the
+                # batch has latched (bit-identical to running the full
+                # budget — converged frames' outputs are frozen above and
+                # later state is never read); cost tracks the batch MAX
+                # iteration count instead of the full budget
+                S = self.S
+
+                def wbody(carry):
+                    it, m_vn, done, latched, iters = carry
+                    x = dict(
+                        it=it,
+                        var=jax.tree_util.tree_map(
+                            lambda a: a[it], self._var_xs
+                        ),
+                    )
+                    (m_vn, done, latched, iters), _ = body(
+                        (m_vn, done, latched, iters), x
+                    )
+                    return (it + 1, m_vn, done, latched, iters)
+
+                def wcond(carry):
+                    return (carry[0] < S) & ~jnp.all(carry[2])
+
+                it0 = jnp.zeros((), jnp.int32)
+                _, m_vn, done, latched, iters = jax.lax.while_loop(
+                    wcond, wbody, (it0, m_vn, done, latched, iters)
+                )
+            else:
+                (m_vn, done, latched, iters), _ = jax.lax.scan(
+                    body, (m_vn, done, latched, iters), xs
+                )
+
+            if raw:
+                return m_vn, done, latched, iters
 
             m_cn = self._permute_v2c(m_vn)
             if early_exit and self.S >= 1:
-                # covers the VN output of the last scan step
+                # covers the VN output of the last loop step
                 bits, conv = convergence(m_vn, m_cn)
                 conv = conv & ~done
                 latched = jnp.where(conv[None, :], bits, latched)
@@ -466,7 +508,7 @@ class ArithLUTDecoder:
         return decode
 
     # ------------------------------------------------------------------
-    def _build_qc_pallas(self):
+    def _build_qc_pallas(self, raw: bool = False):
         """Fused-kernel decode loop for the QC+int16 case (qc_kernels.py):
         one CN kernel (v2c rolls + two-min + syndrome) and one VN kernel
         (c2v rolls + threshold trees + bits/unanimity) per iteration —
@@ -522,9 +564,39 @@ class ArithLUTDecoder:
                     use_tot)
                 return (m_vn, bits_p, unan_p, done, latched, iters), None
 
-            (m_vn, bits_p, unan_p, done, latched, iters), _ = jax.lax.scan(
-                body, (m_vn, bits_p, unan_p, done, latched, iters), xs
-            )
+            if early_exit and self.S > 0:
+                # true early exit (see _build): loop cost tracks the batch
+                # max iteration count, outputs are bit-identical
+                S = self.S
+                var_xs0 = self._var_xs[0]
+
+                def wbody(carry):
+                    it = carry[0]
+                    x = dict(
+                        it=it,
+                        var=[[
+                            {k: op[k][it] for k in op} for op in var_xs0
+                        ]],
+                    )
+                    new_carry, _ = body(carry[1:], x)
+                    return (it + 1,) + new_carry
+
+                def wcond(carry):
+                    return (carry[0] < S) & ~jnp.all(carry[4])
+
+                it0 = jnp.zeros((), jnp.int32)
+                (_, m_vn, bits_p, unan_p, done, latched,
+                 iters) = jax.lax.while_loop(
+                    wcond, wbody,
+                    (it0, m_vn, bits_p, unan_p, done, latched, iters),
+                )
+            else:
+                (m_vn, bits_p, unan_p, done, latched, iters), _ = jax.lax.scan(
+                    body, (m_vn, bits_p, unan_p, done, latched, iters), xs
+                )
+
+            if raw:
+                return m_vn.reshape(-1, B), done, latched, iters
 
             m_cn, synd = qk.cn_qc_pass(m_vn, plan, Z, mb, cb.n_pad)
             if early_exit and self.S >= 1:

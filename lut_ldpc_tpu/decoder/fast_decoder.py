@@ -51,8 +51,9 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
     """Fastest provably-equivalent decoder for this codec.
 
     Tries, in order: the arithmetic value-domain decoder (exactness proven
-    at build time), the table-based scan decoder, the general unrolled
-    decoder.  All three are bit-identical where they apply."""
+    at build time), the hybrid prefix+tail decoder, the table-based scan
+    decoder, the general unrolled decoder.  All are bit-identical where
+    they apply."""
     import numpy as np
 
     from .arith import ArithBuildError, build_arith_spec
@@ -65,6 +66,13 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
         except ArithBuildError:
             # could not *prove* exactness for this codec/dtype -> fall back;
             # any other error is a genuine bug and propagates
+            pass
+    if early_exit:
+        from .hybrid import HybridLUTDecoder
+
+        try:
+            return HybridLUTDecoder(codec, early_exit=True)
+        except (ArithBuildError, ValueError):
             pass
     if _supports_fast(codec):
         try:
@@ -286,21 +294,23 @@ class FastLUTDecoder:
             synd = synd & jnp.all(s == 0, axis=-1)
         return bits, unan & synd
 
+    def _cha_blocks(self, llr_cha):
+        llr_cha_grp = llr_cha[:, self._vn_nodes].astype(self.msg_dtype)
+        return [
+            llr_cha_grp[:, blk.node_start : blk.node_start + blk.num_nodes]
+            for blk in self.layout.vn_blocks
+        ]
+
     # ------------------------------------------------------------------
     def _build(self):
         lay = self.layout
         T = self.T
-        early_exit = self.early_exit
-        min_lut = self.codec.min_lut
+        tail = self._make_tail(0)
 
         def decode(llr_cha, llr_msg):
             B = llr_cha.shape[0]
-            llr_cha_grp = llr_cha[:, self._vn_nodes].astype(self.msg_dtype)
             llr_msg_grp = llr_msg[:, self._vn_nodes].astype(self.msg_dtype)
-            cha_blocks = [
-                llr_cha_grp[:, blk.node_start : blk.node_start + blk.num_nodes]
-                for blk in lay.vn_blocks
-            ]
+            cha_blocks = self._cha_blocks(llr_cha)
 
             # initial messages: every edge carries its variable's label
             parts = []
@@ -316,11 +326,37 @@ class FastLUTDecoder:
             done = jnp.zeros((B,), dtype=bool)
             latched = jnp.zeros((B, self.nvar), dtype=jnp.uint8)
             iters = jnp.full((B,), T, dtype=jnp.int32)
+            return tail(m_vn, cha_blocks, done, latched, iters)
 
-            xs = {"var": self._var_xs}
+        return decode
+
+    def _make_tail(self, start: int):
+        """Label-domain decode continuation from iteration `start`: scan
+        over iterations start..T-2, then the final CN pass, decision trees
+        and output syndrome.  `start`=0 is the full decode; `start`>0
+        resumes from a carried message state (HybridLUTDecoder hands over
+        the arithmetic prefix state here — bit-identical because decoding
+        is deterministic in (messages, channel) and the per-iteration
+        tables do not depend on history)."""
+        lay = self.layout
+        T = self.T
+        early_exit = self.early_exit
+        min_lut = self.codec.min_lut
+
+        def slice_xs(entry):
+            if isinstance(entry, list):
+                return [a[start:] for a in entry]
+            return entry[start:]
+
+        var_xs = [slice_xs(e) for e in self._var_xs]
+        chk_xs = None if min_lut else [slice_xs(e) for e in self._chk_xs]
+
+        def tail(m_vn, cha_blocks, done, latched, iters):
+            B = m_vn.shape[0]
+            xs = {"var": var_xs}
             if not min_lut:
-                xs["chk"] = self._chk_xs
-            xs["it"] = jnp.arange(T - 1, dtype=jnp.int32)
+                xs["chk"] = chk_xs
+            xs["it"] = jnp.arange(start, T - 1, dtype=jnp.int32)
 
             def body(carry, x):
                 m_vn, done, latched, iters = carry
@@ -395,7 +431,7 @@ class FastLUTDecoder:
             bits = jnp.take(bits_grp, self._vn_node_pos, axis=1)
             return bits, ok, iters
 
-        return decode
+        return tail
 
     # ------------------------------------------------------------------
     def __call__(self, llr_cha, llr_msg):

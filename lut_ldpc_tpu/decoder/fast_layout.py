@@ -112,6 +112,10 @@ class GroupedLayout:
         vn_nodes = np.concatenate(vn_nodes)  # (nvar_pad,)
         self.vn_nodes = np.where(vn_nodes < 0, 0, vn_nodes)
         vnG_edge_orig = np.concatenate(vnG_edge_orig)  # (E_vn_pad,)
+        # grouped edge position -> original edge id (-1 at pad rows); kept
+        # for cross-layout bridging (hybrid decoder: padded slot-major
+        # arith state -> unpadded node-major table state)
+        self.vn_edge_orig = vnG_edge_orig
 
         # --- CN-grouped order -------------------------------------------
         cn_blocks: list[Block] = []

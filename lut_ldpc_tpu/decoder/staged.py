@@ -205,13 +205,30 @@ class StagedLUTDecoder:
 
 
 def make_staged_decoder(codec: LUTCodec, early_exit: bool = True):
-    """StagedLUTDecoder when the codec supports an arithmetic prefix and
-    early exit is on; otherwise the best single-pass decoder."""
+    """Best early-exit decoder for the codec.
+
+    Since the arithmetic decoder gained a true in-loop early exit
+    (lax.while_loop stops at the batch max iteration), host-side staging
+    only pays off when the full-budget arithmetic spec does NOT validate
+    (prefix-only codecs, where stragglers need the slow table decoder) or
+    when the graph is big enough to need per-call memory chunking.
+    Either way the outputs are bit-identical."""
     if early_exit:
+        from .fast_decoder import make_decoder
+        from .hybrid import HybridLUTDecoder
+
+        dec = make_decoder(codec, early_exit=True)
+        g = codec.graph
+        # chunking threshold mirrors StagedLUTDecoder._max_pad: if batches
+        # up to 4096 frames fit the intermediate budget, skip staging
+        small = (1 << 30) // (g.num_edges * int(g.dv_vec.max()) * 2) >= 4096
+        full_arith = isinstance(dec, ArithLUTDecoder) and not dec.is_prefix
+        if small and (full_arith or isinstance(dec, HybridLUTDecoder)):
+            return dec
         try:
             return StagedLUTDecoder(codec, early_exit=True)
         except ArithBuildError:
-            pass
+            return dec
     from .fast_decoder import make_decoder
 
     return make_decoder(codec, early_exit=early_exit)

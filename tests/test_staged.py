@@ -78,7 +78,13 @@ def test_bersim_uses_staged(codec):
         ldpc=LDPCConfig(zero_codeword=True),
     )
     sim = BERSim(cfg, codec.graph, codec=codec)
-    assert isinstance(sim.decoder, StagedLUTDecoder)
+    # small full-spec codecs get the plain arithmetic decoder (true in-loop
+    # early exit); staging only pays off for prefix-only / chunked codecs
+    from lut_ldpc_tpu.decoder.arith_decoder import ArithLUTDecoder
+
+    assert isinstance(sim.decoder, (StagedLUTDecoder, ArithLUTDecoder))
+    assert sim.decoder.early_exit if isinstance(sim.decoder, ArithLUTDecoder) \
+        else True
     res = sim.run(seed=0, verbose=False)
     assert res.frames[0] == 128
     # must agree with the non-staged path (mesh=None forced off via
