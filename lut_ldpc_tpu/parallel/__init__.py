@@ -8,6 +8,13 @@ every device simulates its own batch with a device-unique counter-based RNG
 key, and the error counters are psum-reduced over ICI in-program.
 """
 
-from .mesh import dp_mesh, make_dp_step, multihost_init
+from .mesh import (
+    dp_mesh,
+    dp_mesh_2d,
+    make_dp_step,
+    make_dp_step_2d,
+    multihost_init,
+)
 
-__all__ = ["dp_mesh", "make_dp_step", "multihost_init"]
+__all__ = ["dp_mesh", "dp_mesh_2d", "make_dp_step", "make_dp_step_2d",
+           "multihost_init"]

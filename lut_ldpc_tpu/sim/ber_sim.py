@@ -146,6 +146,10 @@ class BERSim:
                 decode_iters=jnp.sum(iters, dtype=jnp.int32),
             )
 
+        # unwrapped per-device step: callers may re-shard it, e.g. over a
+        # 2-D (snr x batch) mesh via parallel.make_dp_step_2d (run() itself
+        # sweeps SNR sequentially with a 1-D frame-parallel mesh)
+        self._step_raw = step
         if self.mesh is not None:
             from ..parallel import make_dp_step
 
