@@ -71,7 +71,9 @@ def main():
     from lut_ldpc_tpu.decoder import make_staged_decoder
     from lut_ldpc_tpu.ops.pmf import snr2sig
 
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    # 8192 saturates the chip (4096 -> 89.8, 8192 -> 96.5, 16384 regresses:
+    # the QC kernels' z-subtile shrinks under the VMEM budget)
+    B = int(os.environ.get("BENCH_BATCH", "8192"))
     iters_timed = int(os.environ.get("BENCH_REPS", "5"))
 
     t0 = time.perf_counter()

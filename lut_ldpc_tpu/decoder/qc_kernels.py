@@ -70,8 +70,9 @@ def qc_kernels_supported() -> bool:
 
 def _pick_nt(Z: int, B: int, nslots: int, budget: int = 40 << 20) -> int:
     """Largest z-subtile NT (multiple of 8, dividing Z) whose scratch +
-    f32 temps fit the VMEM budget: ~(4 bytes * 2 * nslots + 40) * NT * B."""
-    per_row = (4 * 2 * nslots + 40) * B
+    f32 temps fit the VMEM budget: double-buffered int16 in/out windows
+    (2*2*2*nslots bytes/row) + realign copy + f32 temps."""
+    per_row = (10 * nslots + 40) * B
     nt = max(8, min(Z, budget // per_row // 8 * 8))
     while Z % nt:
         nt -= 8
@@ -96,19 +97,6 @@ def _window_pieces(s: int, Z: int, z0: int, NT: int):
     return pieces
 
 
-def _dma_roll(src_ref, plane, base, dst_ref, slot, s, Z, z0, NT, sems, si):
-    dmas = []
-    for pi, (so, do, n) in enumerate(_window_pieces(s, Z, z0, NT)):
-        d = pltpu.make_async_copy(
-            src_ref.at[plane, pl.ds(base + so, n)],
-            dst_ref.at[slot, pl.ds(do, n)],
-            sems.at[si + pi],
-        )
-        d.start()
-        dmas.append(d)
-    return dmas
-
-
 _SEMS_PER_SLOT = 2  # _window_pieces emits at most 2 wrap pieces (W <= Z+8)
 
 
@@ -117,72 +105,134 @@ _SEMS_PER_SLOT = 2  # _window_pieces emits at most 2 wrap pieces (W <= Z+8)
 # ---------------------------------------------------------------------------
 
 
+def _in_dmas(m_ref, scr_in, sem_in, plan_row, Z, z0, NT, buf, dc,
+             invert=False):
+    """Window-read DMA descriptors for one (block row, z-subtile) step
+    into double buffer `buf`; pieces/sizes are compile-time constants."""
+    dmas = []
+    si = 0
+    for l in range(dc):
+        k, j, s = plan_row[l]
+        if invert:
+            s = (Z - s) % Z
+        for pi, (so, do, n) in enumerate(_window_pieces(s, Z, z0, NT)):
+            dmas.append(pltpu.make_async_copy(
+                m_ref.at[k, pl.ds(j * Z + so, n)],
+                scr_in.at[buf, l, pl.ds(do, n)],
+                sem_in.at[buf, si + pi],
+            ))
+        si += _SEMS_PER_SLOT
+    return dmas
+
+
+def _out_dmas(o_ref, scr_out, sem_out, Z, NT, nslots, row, zt, buf):
+    """Output DMA descriptors for step (row, zt) from double buffer `buf`;
+    row/zt/buf may be traced scalars (dynamic ref indices)."""
+    return [
+        pltpu.make_async_copy(
+            scr_out.at[buf, l],
+            o_ref.at[l, pl.ds(row * Z + zt * NT, NT)],
+            sem_out.at[buf, l],
+        )
+        for l in range(nslots)
+    ]
+
+
 def _cn_qc_kernel(m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out, sem_in,
                   sem_out, *, li_plan, Z, NT, dc, out_dtype):
     i = pl.program_id(0)
     zt = pl.program_id(1)
-    nzt = pl.num_programs(1)
+    nzt = Z // NT
+    mb = len(li_plan)
+    nsteps = mb * nzt
+    st = i * nzt + zt
+    buf = st % 2
 
-    for ci in range(len(li_plan)):
-        for czt in range(Z // NT):
+    # --- double-buffered input windows: issue step st+1's DMAs before
+    # waiting on step st's (issued at step st-1), so the next subtile's
+    # HBM reads overlap this subtile's compute + writeback
+    for ci in range(mb):
+        for czt in range(nzt):
+            cst = ci * nzt + czt
             @pl.when((i == ci) & (zt == czt))
-            def _(ci=ci, czt=czt):
-                dmas = []
-                si = 0
-                for l in range(dc):
-                    k, j, s = li_plan[ci][l]
-                    dmas += _dma_roll(m_ref, k, j * Z, scr_in, l, s, Z,
-                                      czt * NT, NT, sem_in, si)
-                    si += _SEMS_PER_SLOT
-                for d in dmas:
+            def _(ci=ci, czt=czt, cst=cst):
+                if cst == 0:
+                    for d in _in_dmas(m_ref, scr_in, sem_in, li_plan[ci],
+                                      Z, czt * NT, NT, 0, dc):
+                        d.start()
+                if cst + 1 < nsteps:
+                    nci, nczt = divmod(cst + 1, nzt)
+                    for d in _in_dmas(m_ref, scr_in, sem_in, li_plan[nci],
+                                      Z, nczt * NT, NT, (cst + 1) % 2, dc):
+                        d.start()
+                for d in _in_dmas(m_ref, scr_in, sem_in, li_plan[ci],
+                                  Z, czt * NT, NT, cst % 2, dc):
                     d.wait()
 
     # realign: window row r = lo mod 8 is the first wanted row; r depends
     # only on the slot's shift (NT % 8 == 0), so one branch per block row
-    for ci in range(len(li_plan)):
+    for ci in range(mb):
         @pl.when(i == ci)
         def _(ci=ci):
             for l in range(dc):
                 r = (-li_plan[ci][l][2]) % 8
-                scr_al[l] = scr_in[l, pl.ds(r, NT)]
+                scr_al[l] = scr_in[buf, l, pl.ds(r, NT)]
 
-    # two-min + parity over slots (f32 compute, exact on int16 values)
+    # before overwriting scr_out[buf], drain the output DMAs issued from
+    # it two steps ago
+    if nsteps > 2:
+        @pl.when(st >= 2)
+        def _():
+            pst = st - 2
+            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc,
+                               pst // nzt, pst % nzt, buf):
+                d.wait()
+
+    # two-min + parity over slots (f32 compute, exact on int16 values;
+    # native packed-int16 compares are unsupported by Mosaic on v5e —
+    # "Target does not support this comparison" — so 16-bit values only
+    # save HBM/VMEM traffic, not VPU ops)
     B = scr_al.shape[-1]
-    x0 = scr_al[0].astype(jnp.float32)
+    cdt = jnp.float32
+    INF = jnp.asarray(np.inf, cdt)
+    x0 = scr_al[0].astype(cdt)
     neg_par = x0 < 0
-    min1, min2 = jnp.abs(x0), jnp.full((NT, B), jnp.inf, jnp.float32)
+    min1, min2 = jnp.abs(x0), jnp.full((NT, B), INF, cdt)
     for l in range(1, dc):
-        xl = scr_al[l].astype(jnp.float32)
+        xl = scr_al[l].astype(cdt)
         neg_par = neg_par ^ (xl < 0)
         mag = jnp.abs(xl)
         min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
         min1 = jnp.minimum(min1, mag)
-    cnt = jnp.zeros((NT, B), jnp.int32)
+    seen = jnp.zeros((NT, B), jnp.bool_)
     for l in range(dc):
-        xl = scr_al[l].astype(jnp.float32)
+        xl = scr_al[l].astype(cdt)
         eq = jnp.abs(xl) == min1
-        first = eq & (cnt == 0)
-        cnt = cnt + eq.astype(jnp.int32)
+        first = eq & ~seen
+        seen = seen | eq
         tmp = jnp.where(first, min2, min1)
         flip = neg_par ^ (xl < 0)
-        scr_out[l] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
+        scr_out[buf, l] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
 
     # per-tile syndrome indicator of the INPUT signs
     synd_ref[...] = jnp.broadcast_to(
         jnp.min((~neg_par).astype(jnp.int32), axis=0, keepdims=True), (8, B)
     ).astype(jnp.int8)
 
-    outs = []
-    for l in range(dc):
-        d = pltpu.make_async_copy(
-            scr_out.at[l],
-            o_ref.at[l, pl.ds(i * Z + zt * NT, NT)],
-            sem_out.at[l],
-        )
+    # issue this step's writeback; it drains two steps later (or in the
+    # final-step epilogue below)
+    for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc, i, zt, buf):
         d.start()
-        outs.append(d)
-    for d in outs:
-        d.wait()
+
+    @pl.when(st == nsteps - 1)
+    def _():
+        for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc, i, zt, buf):
+            d.wait()
+        if nsteps > 1:
+            pst = st - 1
+            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc,
+                               pst // nzt, pst % nzt, 1 - buf):
+                d.wait()
 
 
 def cn_qc_pass(m3, plan, Z, mb, ncp):
@@ -217,11 +267,11 @@ def cn_qc_pass(m3, plan, Z, mb, ncp):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((dc, NT + 8, B), m3.dtype),
+            pltpu.VMEM((2, dc, NT + 8, B), m3.dtype),
             pltpu.VMEM((dc, NT, B), m3.dtype),
-            pltpu.VMEM((dc, NT, B), m3.dtype),
-            pltpu.SemaphoreType.DMA((_SEMS_PER_SLOT * dc,)),
-            pltpu.SemaphoreType.DMA((dc,)),
+            pltpu.VMEM((2, dc, NT, B), m3.dtype),
+            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * dc)),
+            pltpu.SemaphoreType.DMA((2, dc)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -236,7 +286,8 @@ def cn_qc_pass(m3, plan, Z, mb, ncp):
 # ---------------------------------------------------------------------------
 
 
-def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype):
+def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype,
+                  int_compute):
     # refs: m_ref, cha_ref, <4 SMEM per op>, o_ref, bits_ref, unan_ref,
     #       scr_in, scr_al, scr_cha, scr_out, sem_in, sem_cha, sem_out
     nops = len(ops)
@@ -248,37 +299,71 @@ def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype):
 
     j = pl.program_id(0)
     zt = pl.program_id(1)
+    nzt = Z // NT
+    nb = len(kj_plan)
+    nsteps = nb * nzt
+    st = j * nzt + zt
+    buf = st % 2
 
-    dcha = pltpu.make_async_copy(
-        cha_ref.at[pl.ds(j * Z + zt * NT, NT)], scr_cha, sem_cha
-    )
-    dcha.start()
-    for cj in range(len(kj_plan)):
-        for czt in range(Z // NT):
+    # channel tile: double-buffered with fully dynamic offsets (contiguous
+    # single-piece reads need no static pieces)
+    def cha_dma(step, b):
+        return pltpu.make_async_copy(
+            cha_ref.at[pl.ds((step // nzt) * Z + (step % nzt) * NT, NT)],
+            scr_cha.at[b], sem_cha.at[b],
+        )
+
+    @pl.when(st == 0)
+    def _():
+        cha_dma(st, buf).start()
+    if nsteps > 1:
+        @pl.when(st < nsteps - 1)
+        def _():
+            cha_dma(st + 1, 1 - buf).start()
+
+    # double-buffered input windows (see _cn_qc_kernel)
+    for cj in range(nb):
+        for czt in range(nzt):
+            cst = cj * nzt + czt
             @pl.when((j == cj) & (zt == czt))
-            def _(cj=cj, czt=czt):
-                dmas = []
-                si = 0
-                for k in range(dv):
-                    l, i, s = kj_plan[cj][k]
-                    # inverse roll: dst[z] = src[l, i*Z + (z + s) % Z]
-                    inv = (Z - s) % Z
-                    dmas += _dma_roll(m_ref, l, i * Z, scr_in, k, inv, Z,
-                                      czt * NT, NT, sem_in, si)
-                    si += _SEMS_PER_SLOT
-                for d in dmas:
+            def _(cj=cj, czt=czt, cst=cst):
+                if cst == 0:
+                    for d in _in_dmas(m_ref, scr_in, sem_in, kj_plan[cj],
+                                      Z, czt * NT, NT, 0, dv, invert=True):
+                        d.start()
+                if cst + 1 < nsteps:
+                    ncj, nczt = divmod(cst + 1, nzt)
+                    for d in _in_dmas(m_ref, scr_in, sem_in, kj_plan[ncj],
+                                      Z, nczt * NT, NT, (cst + 1) % 2, dv,
+                                      invert=True):
+                        d.start()
+                for d in _in_dmas(m_ref, scr_in, sem_in, kj_plan[cj],
+                                  Z, czt * NT, NT, cst % 2, dv, invert=True):
                     d.wait()
-    for cj in range(len(kj_plan)):
+    for cj in range(nb):
         @pl.when(j == cj)
         def _(cj=cj):
             for k in range(dv):
                 r = kj_plan[cj][k][2] % 8  # (-inv) % 8 == s % 8
-                scr_al[k] = scr_in[k, pl.ds(r, NT)]
-    dcha.wait()
+                scr_al[k] = scr_in[buf, k, pl.ds(r, NT)]
+    cha_dma(st, buf).wait()
+
+    if nsteps > 2:
+        @pl.when(st >= 2)
+        def _():
+            pst = st - 2
+            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv,
+                               pst // nzt, pst % nzt, buf):
+                d.wait()
 
     B = scr_cha.shape[-1]
-    cha = scr_cha[...].astype(jnp.float32)
-    msg = [scr_al[k].astype(jnp.float32) for k in range(dv)]
+    # f32 compute (exact on the int16 values below 2^24); int_compute is
+    # plumbing for TPU generations with packed-int16 VPU compares (v5e's
+    # Mosaic rejects vector i16 cmp, so it is forced off in vn_qc_pass)
+    cdt = jnp.int16 if int_compute else jnp.float32
+    zero = jnp.zeros((), cdt)
+    cha = scr_cha[buf].astype(cdt)
+    msg = [scr_al[k].astype(cdt) for k in range(dv)]
     tot = None
     if use_tot:
         tot = msg[0]
@@ -298,14 +383,16 @@ def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype):
                 for sl in op_operands[1:]:
                     s_sum = s_sum + vals[sl]
             thr_r, lev_r, tlo_r, thi_r = prm[oi]
-            out = jnp.full((NT, B), lev_r[0, 0], jnp.float32)
+            out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
             for t in range(nthr):
-                out = jnp.where(s_sum >= thr_r[0, t], lev_r[0, t + 1], out)
+                out = jnp.where(s_sum >= thr_r[0, t].astype(cdt),
+                                lev_r[0, t + 1].astype(cdt), out)
             tie_src = vals[op_operands[-1]]
-            tie = jnp.where(tie_src < 0, tlo_r[0, 0], thi_r[0, 0])
-            vals.append(jnp.where(s_sum == 0.0, tie, out))
+            tie = jnp.where(tie_src < 0, tlo_r[0, 0].astype(cdt),
+                            thi_r[0, 0].astype(cdt))
+            vals.append(jnp.where(s_sum == zero, tie, out))
         out_i = vals[-1]
-        scr_out[i_out] = out_i.astype(out_dtype)
+        scr_out[buf, i_out] = out_i.astype(out_dtype)
         ni = out_i < 0
         if neg0 is None:
             neg0 = ni
@@ -319,17 +406,18 @@ def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype):
         jnp.min(agree.astype(jnp.int32), axis=0, keepdims=True), (8, B)
     ).astype(jnp.int8)
 
-    outs = []
-    for k in range(dv):
-        d = pltpu.make_async_copy(
-            scr_out.at[k],
-            o_ref.at[k, pl.ds(j * Z + zt * NT, NT)],
-            sem_out.at[k],
-        )
+    for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv, j, zt, buf):
         d.start()
-        outs.append(d)
-    for d in outs:
-        d.wait()
+
+    @pl.when(st == nsteps - 1)
+    def _():
+        for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv, j, zt, buf):
+            d.wait()
+        if nsteps > 1:
+            pst = st - 1
+            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv,
+                               pst // nzt, pst % nzt, 1 - buf):
+                d.wait()
 
 
 def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot):
@@ -349,12 +437,27 @@ def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot):
         (tuple(int(x) for x in op.operands), int(prm[oi]["thr"].shape[-1]))
         for oi, op in enumerate(struct.ops)
     )
+    # native int16 compute is exact when every op's accumulation stays in
+    # range: 2-operand ops (partial = one table value <= 32600, final
+    # validated at build) and the total-minus-self shortcut for <= 4 leaf
+    # operands (leaf tables <= 32000/4 by the int16 scale in arith.py)
+    is_int = m_cn.dtype == jnp.int16
+    ops_ok = all(
+        len(opnds) <= 2 or (oi == 0 and use_tot)
+        for oi, (opnds, _) in enumerate(ops_static)
+    )
+    # v5e Mosaic lacks packed i16 vector compares; force the f32 path
+    int_compute = False and bool(
+        is_int and ops_ok and (not use_tot or dv <= 4)
+    )
     nzt = Z // NT
     grid = (nb, nzt)
     kern = functools.partial(
         _vn_qc_kernel, kj_plan=kj_plan, Z=Z, NT=NT, dv=dv, ops=ops_static,
         use_tot=bool(use_tot), out_dtype=m_cn.dtype,
+        int_compute=int_compute,
     )
+    prm_dtype = jnp.int32 if is_int else jnp.float32
     param_args = []
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
@@ -363,7 +466,7 @@ def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot):
     for oi in range(len(struct.ops)):
         p = prm[oi]
         for key in ("thr", "levels", "tie_lo", "tie_hi"):
-            a = jnp.asarray(p[key], jnp.float32).reshape(1, -1)
+            a = jnp.asarray(p[key], prm_dtype).reshape(1, -1)
             param_args.append(a)
             in_specs.append(
                 pl.BlockSpec(a.shape, lambda j, zt: (0, 0),
@@ -386,13 +489,13 @@ def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((dv, NT + 8, B), m_cn.dtype),
+            pltpu.VMEM((2, dv, NT + 8, B), m_cn.dtype),
             pltpu.VMEM((dv, NT, B), m_cn.dtype),
-            pltpu.VMEM((NT, B), m_cn.dtype),
-            pltpu.VMEM((dv, NT, B), m_cn.dtype),
-            pltpu.SemaphoreType.DMA((_SEMS_PER_SLOT * dv,)),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((dv,)),
+            pltpu.VMEM((2, NT, B), m_cn.dtype),
+            pltpu.VMEM((2, dv, NT, B), m_cn.dtype),
+            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * dv)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, dv)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
