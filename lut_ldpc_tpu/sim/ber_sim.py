@@ -377,8 +377,13 @@ def run_from_config(
                 Nq_Cha=2**lut.qbits_channel,
                 Nq_Msg=Nq_Msg,
                 tree_method=(
-                    f"filename={lut.trees_filename}"
-                    if lut.tree_mode == "filename"
+                    "filename=" + (
+                        lut.trees_filename
+                        if os.path.isabs(lut.trees_filename)
+                        else os.path.join(codes_root, lut.trees_dir,
+                                          lut.trees_filename)
+                    )
+                    if lut.tree_mode in ("file", "filename")
                     else lut.tree_mode
                 ),
                 min_lut=lut.min_lut,

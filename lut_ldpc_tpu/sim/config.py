@@ -92,8 +92,9 @@ class LUTConfig:
     # per iteration; LDPC_BER_Sim.cpp:398 'LUT.qbits_messages' — overrides
     # qbits_message_uniform when non-empty)
     qbits_messages: str = ""
-    tree_mode: str = "auto_bin_balanced"
+    tree_mode: str = "auto_bin_balanced"  # auto modes | 'file'
     trees_filename: str = ""
+    trees_dir: str = "trees"  # search dir for tree_mode=file (cpp:409)
     min_lut: bool = True
     reuse_lut: str = ""  # e.g. '0 1 1 0 ...' per-iteration reuse flags
     output_verbosity: int = 0
@@ -167,12 +168,20 @@ def parse_ini(path: str) -> BERSimConfig:
             qbits_messages=get("LUT", "qbits_messages", lc.qbits_messages),
             tree_mode=get("LUT", "tree_mode", lc.tree_mode),
             trees_filename=get("LUT", "trees_filename", lc.trees_filename),
+            trees_dir=get("LUT", "trees_dir", lc.trees_dir),
             min_lut=get("LUT", "min_lut", lc.min_lut, bool),
             reuse_lut=get("LUT", "reuse_lut", lc.reuse_lut),
             output_verbosity=get("LUT", "output_verbosity", lc.output_verbosity, int),
-            initial_message_mode=get(
-                "LUT", "initial_message_mode", lc.initial_message_mode
-            ).lower(),
+            initial_message_mode={
+                # reference spellings (LDPC_BER_Sim.cpp:428-430)
+                "from_continuous_input": "cont",
+                "from_quantized_channel_llrs": "qcha",
+            }.get(
+                get("LUT", "initial_message_mode",
+                    lc.initial_message_mode).lower(),
+                get("LUT", "initial_message_mode",
+                    lc.initial_message_mode).lower(),
+            ),
             irregular_design_strategy=get(
                 "LUT", "irregular_design_strategy", lc.irregular_design_strategy
             ),
