@@ -245,8 +245,21 @@ def parse_template(s: str) -> TreeNode:
     return root
 
 
+def _root_cha_only() -> TreeNode:
+    """Degree-1 VN tree: ROOT over the channel leaf alone (no incoming
+    messages in the leave-one-out queue).  The reference cannot design this
+    shape (LUT_Tree.cpp:202 asserts num_leaves >= 2) so codes like the
+    standard DVB-S2 matrix, whose accumulator tail leaves one degree-1
+    column, are out of its design reach; here the root LUT degenerates to
+    the MI-optimal requantization of the channel pmf, which quant_mi_sym
+    handles like any other node."""
+    return TreeNode(ROOT, [TreeNode(CHA)])
+
+
 def gen_bin_balanced_tree(num_leaves: int, var: bool, leaf_type: int = MSG) -> TreeNode:
     """Bottom-up pairing queue; var trees get the channel leaf at the root."""
+    if var and num_leaves == 1:
+        return _root_cha_only()
     assert num_leaves >= 2
     nodes = [TreeNode(leaf_type) for _ in range(num_leaves - int(var))]
     while True:
@@ -264,6 +277,8 @@ def gen_bin_balanced_tree(num_leaves: int, var: bool, leaf_type: int = MSG) -> T
 
 def gen_bin_high_tree(num_leaves: int, var: bool, leaf_type: int = MSG) -> TreeNode:
     """Maximum-height binary chain (trellis shape)."""
+    if var and num_leaves == 1:
+        return _root_cha_only()
     assert num_leaves >= 2
     root = TreeNode(ROOT)
     root.children.append(TreeNode(CHA if var else leaf_type))
@@ -280,6 +295,8 @@ def gen_bin_high_tree(num_leaves: int, var: bool, leaf_type: int = MSG) -> TreeN
 
 
 def gen_root_only_tree(num_leaves: int, var: bool, leaf_type: int = MSG) -> TreeNode:
+    if var and num_leaves == 1:
+        return _root_cha_only()
     assert num_leaves >= 2
     root = TreeNode(ROOT, [TreeNode(leaf_type) for _ in range(num_leaves - 1)])
     root.children.append(TreeNode(CHA if var else leaf_type))
