@@ -350,6 +350,109 @@ def _dfs_leaf_types(node, out):
     return out
 
 
+def _repair_center_candidates(v0, v1, table, live, nz):
+    """Candidate (new v0, new v1) pairs for the noise-center tie conflict.
+
+    Applies when both children's center pair (labels nz-1, nz) carries
+    pure log-noise values (|v| ~ 1e-16) whose signs encode the design's
+    stable-sort order rather than the label halves.  The designed LUT is
+    then NON-monotone in the child labels near zero — e.g. the diagonal
+    cluster maps (nz-1, nz-1) ABOVE the antidiagonal ties while
+    (nz, nz) maps below — which no threshold-of-sum with *shared* child
+    tables can express.  It IS expressible with per-child freedom:
+
+    - scale child 1's non-center entries by (1 + delta): the exact
+      antidiagonal ties v0[l] + v1[K-1-l] == 0 become -delta*v1[l],
+      i.e. strictly ordered by child-1 label — the joint-index order of
+      the design's stable sort;
+    - give the centers distinct power-of-two magnitudes (a for child 0,
+      b for child 1) solving the 2x2 cluster's linear constraints; which
+      sign pattern is consistent depends on which side of the boundary
+      the design's noise put the diagonal entries, so several candidates
+      are returned and the caller keeps the first whose op validates
+      exhaustively (exactness is never assumed).
+
+    delta is bounded by the smallest label-boundary gap so no non-tie
+    combo can cross a threshold; u is a power of two so all cluster sums
+    (+-u, +-2u, +-3u) are exact in float32."""
+    big0 = np.abs(np.concatenate([v0[:nz - 1], v0[nz + 1:]]))
+    big1 = np.abs(np.concatenate([v1[:nz - 1], v1[nz + 1:]]))
+    c_min = min(big0.min(), big1.min())
+    c_max = max(np.abs(v0).max(), np.abs(v1).max())
+    if c_min <= 0:
+        return []
+    # smallest gap between adjacent distinct sums across a label boundary,
+    # measured on the unrepaired sums (zero-cluster excluded)
+    # joint label convention l0 + K0*l1 (child 0 least significant), the
+    # same order as `table` and `live`
+    s = (v1[:, None] + v0[None, :]).reshape(-1)
+    lab = table
+    nzmask = live & (np.abs(s) > 1e-9)
+    gap = np.inf
+    for k in range(int(lab[live].max())):
+        lo = s[nzmask & (lab <= k)]
+        hi = s[nzmask & (lab > k)]
+        if len(lo) and len(hi):
+            g = hi.min() - lo.max()
+            if g > 0:
+                gap = min(gap, g)
+    if not np.isfinite(gap):
+        gap = c_min
+    delta = min(2.0 ** -12, gap / (8.0 * c_max))
+    if delta < 1e-7:  # below float32 resolution of the scaled entries
+        return []
+    u = 2.0 ** np.floor(np.log2(delta * c_min / 16.0))
+    if u <= 0 or not np.isfinite(u):
+        return []
+
+    def build(a, b):
+        w0 = v0.copy()
+        w1 = v1.copy()
+        w1[:nz - 1] *= (1.0 + delta)
+        w1[nz + 1:] *= (1.0 + delta)
+        w0[nz], w0[nz - 1] = a, -a
+        w1[nz], w1[nz - 1] = b, -b
+        return w0, w1
+
+    out = []
+    for a, b in ((-2 * u, u), (-u, 2 * u), (u, -2 * u), (2 * u, -u),
+                 (u, 2 * u), (2 * u, u)):
+        out.append(build(a, b))
+    return out
+
+
+def _try_repair(node, slots, masks, emit, out_vals, work_dtype,
+                num_leaves) -> dict | None:
+    """Attempt the center-pair repair for a failing 2-child op whose
+    children are both interior ops.  Returns {slot: new table} on success
+    (the repaired op validates exhaustively), None otherwise."""
+    if len(slots) != 2 or any(s < num_leaves for s in slots):
+        return None  # leaf tables are shared across slots; cannot fork them
+    if np.issubdtype(np.dtype(work_dtype), np.integer):
+        return None  # float-mode only (int grids lack the headroom)
+    v0 = np.asarray(emit[slots[0]], dtype=np.float64)
+    v1 = np.asarray(emit[slots[1]], dtype=np.float64)
+    if len(v0) != len(v1):
+        return None
+    K0 = len(v0)
+    nz = K0 // 2
+    tol = 1e-9
+    if max(abs(v0[nz]), abs(v0[nz - 1]), abs(v1[nz]), abs(v1[nz - 1])) > tol:
+        return None
+    L = K0 * len(v1)
+    table = _var_full_table(np.asarray(node.Q), L, node.K).astype(np.int64)
+    live = _joint_mask(masks)
+    for w0, w1 in _repair_center_candidates(v0, v1, table, live, nz):
+        t0 = np.asarray(w0, dtype=np.float32)
+        t1 = np.asarray(w1, dtype=np.float32)
+        try:
+            _op_spec(node, slots, [t0, t1], masks, out_vals, work_dtype)
+        except ArithBuildError:
+            continue
+        return {slots[0]: t0, slots[1]: t1}
+    return None
+
+
 def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values,
                      convert, work_dtype, msg_mask=None,
                      cha_mask=None) -> ArithTreeSpec:
@@ -367,6 +470,14 @@ def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values,
         cha_mask = np.ones(len(leaf_cha), dtype=bool)
     ops_raw, num_inputs = _tree_values(tree.root, leaf_msg, leaf_cha,
                                        convert, msg_mask, cha_mask)
+    # current emitted value table per slot (leaves, then op outputs);
+    # the repair path may fork an op's emitted table away from its
+    # sibling's even when their pmfs are identical
+    emit = {}
+    for node, slots, tables, masks in ops_raw:
+        for s, t in zip(slots, tables):
+            emit.setdefault(s, t)
+    out_tables = []  # per op: its emitted table (out_vals)
     specs = []
     for i, (node, slots, tables, masks) in enumerate(ops_raw):
         is_root = i == len(ops_raw) - 1
@@ -379,8 +490,27 @@ def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values,
             ).astype(np.int64)
             img = _node_image(node, lut, masks)
             out_vals = convert(clamp_dead(nudged_llr(node.p), img))[: node.K]
-        specs.append(_op_spec(node, slots, tables, masks, out_vals,
-                              work_dtype))
+        child_tabs = [emit[s] for s in slots]
+        try:
+            spec = _op_spec(node, slots, child_tabs, masks, out_vals,
+                            work_dtype)
+        except ArithBuildError:
+            repaired = _try_repair(node, slots, masks, emit, out_vals,
+                                   work_dtype, num_inputs)
+            if repaired is None:
+                raise
+            for s, t in repaired.items():
+                emit[s] = t
+                j = s - num_inputs  # rebuild the child: new emitted levels
+                cn, cs, _, cm = ops_raw[j]
+                specs[j] = _op_spec(cn, cs, [emit[x] for x in cs], cm, t,
+                                    work_dtype)
+                out_tables[j] = t
+            spec = _op_spec(node, slots, [emit[s] for s in slots], masks,
+                            out_vals, work_dtype)
+        specs.append(spec)
+        out_tables.append(out_vals)
+        emit[num_inputs + i] = out_vals
     return ArithTreeSpec(num_inputs=num_inputs, ops=tuple(specs))
 
 

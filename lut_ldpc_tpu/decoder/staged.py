@@ -204,7 +204,8 @@ class StagedLUTDecoder:
         return bits, ok, iters
 
 
-def make_staged_decoder(codec: LUTCodec, early_exit: bool = True):
+def make_staged_decoder(codec: LUTCodec, early_exit: bool = True,
+                        max_batch: int = 4096):
     """Best early-exit decoder for the codec.
 
     Since the arithmetic decoder gained a true in-loop early exit
@@ -212,16 +213,26 @@ def make_staged_decoder(codec: LUTCodec, early_exit: bool = True):
     only pays off when the full-budget arithmetic spec does NOT validate
     (prefix-only codecs, where stragglers need the slow table decoder) or
     when the graph is big enough to need per-call memory chunking.
-    Either way the outputs are bit-identical."""
+    Either way the outputs are bit-identical.
+
+    max_batch: largest per-call batch the caller will use.  On big graphs
+    (DVB-S2 scale) the single-jit hybrid fits the intermediate budget at
+    moderate batches, and avoiding StagedLUTDecoder's per-stage host
+    round trips matters enormously when host<->device transfers ride a
+    network tunnel.  Budget overridable via LUT_DECODE_MEM_BUDGET bytes.
+    """
     if early_exit:
+        import os
+
         from .fast_decoder import make_decoder
         from .hybrid import HybridLUTDecoder
 
         dec = make_decoder(codec, early_exit=True)
         g = codec.graph
         # chunking threshold mirrors StagedLUTDecoder._max_pad: if batches
-        # up to 4096 frames fit the intermediate budget, skip staging
-        small = (1 << 30) // (g.num_edges * int(g.dv_vec.max()) * 2) >= 4096
+        # up to max_batch frames fit the intermediate budget, skip staging
+        budget = int(os.environ.get("LUT_DECODE_MEM_BUDGET", 1 << 30))
+        small = budget // (g.num_edges * int(g.dv_vec.max()) * 2) >= max_batch
         full_arith = isinstance(dec, ArithLUTDecoder) and not dec.is_prefix
         if small and (full_arith or isinstance(dec, HybridLUTDecoder)):
             return dec

@@ -76,7 +76,10 @@ class BERSim:
                 # per-frame early exit
                 from ..decoder.staged import make_staged_decoder
 
-                self.decoder = make_staged_decoder(codec, early_exit=True)
+                self.decoder = make_staged_decoder(
+                    codec, early_exit=True,
+                    max_batch=config.sim.batch_size,
+                )
             else:
                 self.decoder = make_decoder(
                     codec, early_exit=config.ldpc.parity_check_iter
