@@ -209,6 +209,22 @@ def de_sim_bp(cp, out) -> None:
         de.set_exit_conditions(int(maxiter_de_vec[nn]), maxiter_bisec,
                                max_ni_de_iters, Pe_max, thr_prec)
         des.append(de)
+    accel = get("Sim", "accelerator_sweep", False,
+                lambda s: s.lower() in ("1", "true", "yes"))
+    if accel:
+        # batched f32 grid evolution on the default JAX device narrows
+        # each search to a tight bracket in a handful of fused programs;
+        # the f64 host bisection finishes inside it (SURVEY §2 DE mapping)
+        from ..design.de_bp_tpu import DEBpTPU
+
+        for nn, de in enumerate(des):
+            tde = DEBpTPU(ens, Nq, LLR_max,
+                          maxiter_de=int(maxiter_de_vec[nn]), Pe_max=Pe_max,
+                          max_ni_de_iters=max_ni_de_iters)
+            tde.host.set_bisec_window(thr_min, thr_max)
+            lo = tde.threshold(points=17, rounds=2)
+            win = (thr_max - thr_min) / 16**2
+            de.set_bisec_window(lo, min(lo + 2 * win, thr_max))
     with ThreadPoolExecutor(max_workers=min(len(des), 16)) as pool:
         results = list(pool.map(lambda de: de.bisec_search(), des))
     bisec_iters = np.array([r[0] for r in results])
