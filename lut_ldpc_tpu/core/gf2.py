@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["pack_rows", "unpack_rows", "gf2_row_reduce", "gf2_rank", "make_systematic_generator"]
+__all__ = ["pack_rows", "unpack_rows", "gf2_row_reduce", "gf2_rank", "make_systematic_generator", "make_systematic_generator_cached"]
 
 
 def pack_rows(M: np.ndarray) -> np.ndarray:
@@ -98,4 +98,31 @@ def make_systematic_generator(H: np.ndarray):
     # In RREF, R[:, pivots] = I, so parity bits p satisfy p = R[:, nonpivots] @ u
     A = R[:, nonpivots]  # (rank, k)
     gen_T = A.T.copy()  # (k, rank)
+    return perm, gen_T, rank
+
+
+def make_systematic_generator_cached(H: np.ndarray, cache: str | None):
+    """make_systematic_generator with an npz cache next to the code file.
+
+    Mirrors the reference's `<code>.gen.it` caching
+    (/root/reference/src/LDPC_BER_Sim.cpp:168-189): loaded when the cached
+    H digest matches, written atomically (temp + rename) otherwise."""
+    import hashlib
+    import os
+    import tempfile
+
+    H = np.asarray(H, dtype=np.uint8)
+    digest = hashlib.sha256(H.tobytes()).hexdigest()
+    if cache and os.path.exists(cache):
+        d = np.load(cache)
+        if str(d["h_sha256"]) == digest:
+            return d["perm"], d["gen_T"], int(d["rank"])
+    perm, gen_T, rank = make_systematic_generator(H)
+    if cache:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cache) or ".",
+                                   suffix=".npz")
+        os.close(fd)
+        np.savez_compressed(tmp, perm=perm, gen_T=gen_T, rank=rank,
+                            h_sha256=digest)
+        os.replace(tmp, cache)
     return perm, gen_T, rank

@@ -136,12 +136,16 @@ class LUTCodec:
         irregular_design_strategy: str = "joint_root",
         ens=None,
         build_generator: bool = False,
+        generator_cache: str | None = None,
     ) -> "LUTCodec":
         """Run DE at noise power sigma2 and assemble the decoder artifact.
 
         With build_generator, H's columns are permuted for a systematic
         generator (like IT++ LDPC_Generator_Systematic) and the returned
-        codec's graph is the *permuted* one.
+        codec's graph is the *permuted* one.  generator_cache names an
+        npz cached next to the alist (the reference caches `<code>.gen.it`
+        the same way, LDPC_BER_Sim.cpp:168-189): loaded when present and
+        its H digest matches, written atomically otherwise.
         """
         if np.isscalar(Nq_Msg):
             Nq_Msg = np.full(max_iters, int(Nq_Msg), dtype=np.int64)
@@ -154,8 +158,11 @@ class LUTCodec:
         gen_perm = gen_T = None
         nchk_lin_indep = -1
         if build_generator:
+            from ..core.gf2 import make_systematic_generator_cached
+
             H = graph.to_dense()
-            perm, gen_T, rank = make_systematic_generator(H)
+            perm, gen_T, rank = make_systematic_generator_cached(
+                H, generator_cache)
             graph = TannerGraph.from_dense(H[:, perm])
             gen_perm = perm
             nchk_lin_indep = rank

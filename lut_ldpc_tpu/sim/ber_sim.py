@@ -52,6 +52,7 @@ class BERSim:
         codec: LUTCodec | None = None,
         bp_decoder: BPDecoder | None = None,
         mesh: jax.sharding.Mesh | None = None,
+        gen_T: np.ndarray | None = None,
     ):
         self.config = config
         self.graph = graph
@@ -61,10 +62,13 @@ class BERSim:
         if (codec is None) == (bp_decoder is None):
             raise ValueError("provide exactly one of codec / bp_decoder")
         self.zero_codeword = config.ldpc.zero_codeword
+        # systematic generator: explicit (BP sims) or the codec's
+        self.gen_T = gen_T if gen_T is not None else (
+            None if codec is None else codec.gen_T)
         if not self.zero_codeword:
-            if codec is None or codec.gen_T is None:
-                raise ValueError("non-zero codewords require a codec with a generator")
-            self.k = codec.k
+            if self.gen_T is None:
+                raise ValueError("non-zero codewords require a generator")
+            self.k = graph.nvar - int(np.asarray(self.gen_T).shape[1])
         else:
             # rank assumed full for zero-codeword runs (no generator needed)
             self.k = codec.k if codec is not None else graph.nvar - graph.nchk
@@ -104,9 +108,7 @@ class BERSim:
             qb_msg = jnp.asarray(codec.qb_Msg)
             cha2msg = jnp.asarray(codec.cha2msg_map, dtype=jnp.int32)
             use_qcha = codec.initial_message_mode == "qcha"
-            gen_T = None if codec.gen_T is None else jnp.asarray(codec.gen_T, jnp.int32)
-        else:
-            gen_T = None
+        gen_T = None if self.gen_T is None else jnp.asarray(self.gen_T, jnp.int32)
 
         def step(key, sigma):
             """One batch: returns int32 counter dict."""
@@ -173,7 +175,7 @@ class BERSim:
             qb_msg = jnp.asarray(codec.qb_Msg)
             cha2msg = jnp.asarray(codec.cha2msg_map, dtype=jnp.int32)
             use_qcha = codec.initial_message_mode == "qcha"
-            gen_T = None if codec.gen_T is None else jnp.asarray(codec.gen_T, jnp.int32)
+        gen_T = None if self.gen_T is None else jnp.asarray(self.gen_T, jnp.int32)
 
         @jax.jit
         def gen(key, sigma):
@@ -338,6 +340,7 @@ def run_from_config(
 
     codec = None
     bp = None
+    gen_T = None
     if config.sim.codec_filename and os.path.exists(config.sim.codec_filename):
         codec = LUTCodec.load(config.sim.codec_filename)
         graph = codec.graph
@@ -393,6 +396,13 @@ def run_from_config(
                 reuse_vec=reuse,
                 irregular_design_strategy=lut.irregular_design_strategy,
                 build_generator=not config.ldpc.zero_codeword,
+                # generator cached next to the alist, like the reference's
+                # <code>.gen.it (LDPC_BER_Sim.cpp:168-189)
+                generator_cache=(
+                    alist.removesuffix(".alist") + ".gen.npz"
+                    if codec is None and not config.ldpc.zero_codeword
+                    else None
+                ),
             )
             graph = codec.graph  # possibly column-permuted by the generator
             codec.initial_message_mode = lut.initial_message_mode
@@ -401,10 +411,22 @@ def run_from_config(
     else:
         from ..decoder.bp import make_bp_decoder
 
+        if not config.ldpc.zero_codeword:
+            # encoded BP sims: systematic generator, cached next to the
+            # alist like the reference's <code>.gen.it
+            # (LDPC_BER_Sim.cpp:168-189); the BP decoder runs on the
+            # column-permuted graph so systematic bits come first
+            from ..core.gf2 import make_systematic_generator_cached
+
+            H = graph.to_dense()
+            perm, gen_T, _ = make_systematic_generator_cached(
+                H, alist.removesuffix(".alist") + ".gen.npz")
+            graph = TannerGraph.from_dense(H[:, perm])
         bp = make_bp_decoder(
             graph, config.bp, early_exit=config.ldpc.parity_check_iter
         )
 
-    sim = BERSim(config, graph, codec=codec, bp_decoder=bp, mesh=mesh)
+    sim = BERSim(config, graph, codec=codec, bp_decoder=bp, mesh=mesh,
+                 gen_T=gen_T)
     results = sim.run(seed=seed, verbose=verbose)
     return results, sim
