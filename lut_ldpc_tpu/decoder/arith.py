@@ -86,6 +86,16 @@ class ArithOpSpec:
     stable sort on the joint label index — equivalently by the sign of the
     most-significant child's value — so a sum of exactly 0 emits tie_lo
     (last operand negative) or tie_hi.  Exactness is validated exhaustively.
+
+    Symmetric factorization (sym_thr/sym_levels, set when it validates):
+    designed LUTs are antisymmetric (half-LUT mirror, LUT_Tree.cpp:414-417),
+    so the emission usually factors as out = sign(s) * sym_levels[c] with
+    c = #{t : |s| >= sym_thr[t]} — HALF the thresholds of the full chain
+    ((K/2)-1 instead of K-1).  Like everything else here this is verified
+    exhaustively over the reachable sums (label equality against the LUT),
+    never assumed; consumers fall back to the full chain when absent.
+    has_zero records whether any reachable combination sums to exactly 0
+    (when False consumers may skip the tie select entirely).
     """
 
     operands: tuple
@@ -93,6 +103,9 @@ class ArithOpSpec:
     levels: np.ndarray  # (K,) work dtype: emitted values per output label
     tie_lo: float  # emitted at sum==0 with last operand < 0
     tie_hi: float  # emitted at sum==0 with last operand > 0
+    sym_thr: np.ndarray | None = None  # (K/2-1,) magnitude thresholds
+    sym_levels: np.ndarray | None = None  # (K/2,) magnitude levels
+    has_zero: bool = True  # a reachable zero sum exists (tie can fire)
 
 
 @dataclass(frozen=True)
@@ -329,7 +342,6 @@ def _op_spec(node, slots, child_tables, child_masks, out_values,
         if len(ge):
             thr[k - 1] = ge.min().astype(work_dtype)
 
-    spec = ArithOpSpec(slots, thr, out_values, float(tie_lo), float(tie_hi))
     # exhaustive validation: piecewise level == table level for all
     # reachable non-tie combos (tie combos validated through lo/hi above)
     lvl = np.zeros(L, dtype=np.int64)
@@ -337,7 +349,28 @@ def _op_spec(node, slots, child_tables, child_masks, out_values,
         lvl += (s >= thr[k].astype(wide)).astype(np.int64)
     if not np.array_equal(lvl[nz], table[nz]):
         raise ArithBuildError("arithmetic form does not reproduce the LUT")
-    return spec
+
+    # symmetric factorization (see ArithOpSpec): validated exhaustively —
+    # label(s>0) == K/2 + c(|s|), label(s<0) == K/2-1 - c(|s|) with
+    # c(m) = #{t : m >= thr[K/2 + t]}, and antisymmetric levels so
+    # levels[K/2-1-c] == -levels[K/2+c]
+    sym_thr = sym_lev = None
+    if K % 2 == 0:
+        half = K // 2
+        lv_w = out_values.astype(wide)
+        if np.array_equal(lv_w, -lv_w[::-1]):
+            thr_hi = thr[half:]
+            sn, mn = s[nz], np.abs(s[nz])
+            c = np.zeros(len(sn), dtype=np.int64)
+            for t in range(len(thr_hi)):
+                c += (mn >= thr_hi[t].astype(wide)).astype(np.int64)
+            pred = np.where(sn > 0, half + c, half - 1 - c)
+            if np.array_equal(pred, table[nz]):
+                sym_thr = thr_hi.copy()
+                sym_lev = out_values[half:].copy()
+    return ArithOpSpec(slots, thr, out_values, float(tie_lo), float(tie_hi),
+                       sym_thr=sym_thr, sym_levels=sym_lev,
+                       has_zero=bool(zero.any()))
 
 
 def _dfs_leaf_types(node, out):

@@ -122,15 +122,19 @@ class ArithLUTDecoder:
         ]
 
         # stacked per-iteration op parameters: per block, per op:
-        # thr (S, K-1), levels (S, K) [+ lev0/dlev for integer specs]
+        # thr (S, K-1), levels (S, K) [+ lev0/dlev for integer specs,
+        # sthr/smag for symmetric emission]; static per-op flags (sym,
+        # has_tie) live in _op_flags, outside the scanned pytrees
         self._var_xs = []
         self._var_struct = []  # per block: ArithTreeSpec (structure only)
+        self._op_flags = []  # per block: list of per-op static flag dicts
         S = self.S
         dt = self._dtype_np
         for bi in range(len(lay.vn_blocks)):
             tree0 = self.spec.var_trees[0][bi] if S > 0 else None
             self._var_struct.append(tree0)
             ops_xs = []
+            flags = []
             if S > 0:
                 for oi in range(len(tree0.ops)):
                     thr = np.stack(
@@ -155,8 +159,22 @@ class ArithLUTDecoder:
                         prm["dlev"] = jnp.asarray(
                             np.diff(levels.astype(np.int64), axis=1).astype(dt)
                         )
+                    specs_oi = [self.spec.var_trees[ii][bi].ops[oi]
+                                for ii in range(S)]
+                    if all(sp.sym_thr is not None for sp in specs_oi):
+                        # symmetric sign x magnitude emission (arith.py):
+                        # half the thresholds, validated per iteration
+                        prm["sthr"] = jnp.asarray(
+                            np.stack([sp.sym_thr for sp in specs_oi]))
+                        prm["smag"] = jnp.asarray(
+                            np.stack([sp.sym_levels for sp in specs_oi]))
+                    flags.append(dict(
+                        sym=all(sp.sym_thr is not None for sp in specs_oi),
+                        has_tie=any(sp.has_zero for sp in specs_oi),
+                    ))
                     ops_xs.append(prm)
             self._var_xs.append(ops_xs)
+            self._op_flags.append(flags)
         self._dec_specs = self.spec.dec_trees
 
     # ------------------------------------------------------------------
@@ -248,16 +266,27 @@ class ArithLUTDecoder:
         return jnp.where(sign_prod ^ neg, -tmp, tmp)
 
     # ------------------------------------------------------------------
-    def _emit(self, s, prm, tie_ref):
+    def _emit(self, s, prm, tie_ref, flags=None):
         """Piecewise-constant emission for one op at one iteration.
 
+        Symmetric specs (sthr/smag present): sign x magnitude chain over
+        HALF the thresholds (validated exhaustively at build, arith.py).
         Integer specs: exact threshold-count delta form (module docstring).
         Float specs: the validated sequential select chain (rounding-exact
         by construction).  Zero sums emit the explicit tie outputs selected
-        by the sign of the most-significant operand."""
+        by the sign of the most-significant operand; ops with no reachable
+        zero sum (has_tie False) skip the tie select entirely."""
         dt = self._dtype
-        nthr = prm["thr"].shape[-1]
-        if self._is_int:
+        if "sthr" in prm:
+            nthr = prm["sthr"].shape[-1]
+            m = jnp.abs(s)
+            out = jnp.broadcast_to(prm["smag"][..., 0], s.shape).astype(dt)
+            for k in range(nthr):
+                out = jnp.where(m >= prm["sthr"][..., k],
+                                prm["smag"][..., k + 1], out)
+            out = jnp.where(s < 0, -out, out)
+        elif self._is_int:
+            nthr = prm["thr"].shape[-1]
             acc = jnp.broadcast_to(prm["lev0"], s.shape).astype(dt)
             zero = jnp.zeros((), dt)
             for k in range(nthr):
@@ -265,10 +294,13 @@ class ArithLUTDecoder:
                                       prm["dlev"][..., k], zero)
             out = acc
         else:
+            nthr = prm["thr"].shape[-1]
             out = jnp.broadcast_to(prm["levels"][..., 0], s.shape).astype(dt)
             for k in range(nthr):
                 out = jnp.where(s >= prm["thr"][..., k],
                                 prm["levels"][..., k + 1], out)
+        if flags is not None and not flags["has_tie"]:
+            return out
         tie = jnp.where(tie_ref < 0, prm["tie_lo"], prm["tie_hi"])
         return jnp.where(s == 0, tie.astype(dt), out)
 
@@ -311,7 +343,8 @@ class ArithLUTDecoder:
                     s = vals[op.operands[0]]
                     for sl in op.operands[1:]:
                         s = s + vals[sl]
-                vals.append(self._emit(s, prm[oi], vals[op.operands[-1]]))
+                vals.append(self._emit(s, prm[oi], vals[op.operands[-1]],
+                                        self._op_flags[bi][oi]))
             outs.append(vals[-1])
         return jnp.stack(outs, axis=0)
 
@@ -529,7 +562,15 @@ class ArithLUTDecoder:
         dv = vb.degree
         use_tot = struct.ops[0].operands == tuple(range(dv - 1)) and dv >= 3
         nreal = vb.num_nodes  # == nb * Z
-        PKEYS = ("thr", "levels", "tie_lo", "tie_hi")
+        # kernel param slots: (thresholds, levels, tie_lo, tie_hi) — sym
+        # ops ride the magnitude thresholds/levels in the same slots
+        flags0 = self._op_flags[0]
+        op_keys = [
+            ("sthr", "smag", "tie_lo", "tie_hi") if f["sym"]
+            else ("thr", "levels", "tie_lo", "tie_hi")
+            for f in flags0
+        ]
+        KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
 
         def decode(llr_cha, llr_msg):
             B = llr_cha.shape[0]
@@ -558,10 +599,13 @@ class ArithLUTDecoder:
                     latched = jnp.where(conv[None, :], bits_p, latched)
                     iters = jnp.where(conv, it, iters)
                     done = done | conv
-                prm_it = [{k: op[k] for k in PKEYS} for op in x["var"][0]]
+                prm_it = [
+                    {ks: op[k] for ks, k in zip(KSLOTS, keys)}
+                    for op, keys in zip(x["var"][0], op_keys)
+                ]
                 m_vn, bits_p, unan_p = qk.vn_qc_pass(
                     m_cn, vcha, plan, Z, nb, vb.n_pad, struct, prm_it,
-                    use_tot)
+                    use_tot, flags=flags0)
                 return (m_vn, bits_p, unan_p, done, latched, iters), None
 
             if early_exit and self.S > 0:

@@ -204,13 +204,14 @@ def _cn_qc_kernel(m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out, sem_in,
         mag = jnp.abs(xl)
         min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
         min1 = jnp.minimum(min1, mag)
-    seen = jnp.zeros((NT, B), jnp.bool_)
     for l in range(dc):
         xl = scr_al[l].astype(cdt)
-        eq = jnp.abs(xl) == min1
-        first = eq & ~seen
-        seen = seen | eq
-        tmp = jnp.where(first, min2, min1)
+        # where |x_l| == min1: the min over the OTHERS is min2 — for a
+        # unique minimum by definition, for duplicated minima min2 == min1
+        # so the branches agree; no first-argmin bookkeeping needed
+        # (value-identical to chk_update_minsum, enforced by the
+        # equivalence suites)
+        tmp = jnp.where(jnp.abs(xl) == min1, min2, min1)
         flip = neg_par ^ (xl < 0)
         scr_out[buf, l] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
 
@@ -375,7 +376,7 @@ def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype,
     for i_out in range(dv):
         others = [msg[k] for k in range(dv) if k != i_out]
         vals = others + [cha]
-        for oi, (op_operands, nthr) in enumerate(ops):
+        for oi, (op_operands, nthr, sym, has_tie) in enumerate(ops):
             if oi == 0 and tot is not None:
                 s_sum = tot - msg[i_out]
             else:
@@ -383,14 +384,27 @@ def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype,
                 for sl in op_operands[1:]:
                     s_sum = s_sum + vals[sl]
             thr_r, lev_r, tlo_r, thi_r = prm[oi]
-            out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
-            for t in range(nthr):
-                out = jnp.where(s_sum >= thr_r[0, t].astype(cdt),
-                                lev_r[0, t + 1].astype(cdt), out)
-            tie_src = vals[op_operands[-1]]
-            tie = jnp.where(tie_src < 0, tlo_r[0, 0].astype(cdt),
-                            thi_r[0, 0].astype(cdt))
-            vals.append(jnp.where(s_sum == zero, tie, out))
+            if sym:
+                # sign x magnitude factorization (arith.py sym_thr):
+                # half-depth chain on |s|, sign applied once — validated
+                # exhaustively at build time against the integer LUT
+                msum = jnp.abs(s_sum)
+                out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
+                for t in range(nthr):
+                    out = jnp.where(msum >= thr_r[0, t].astype(cdt),
+                                    lev_r[0, t + 1].astype(cdt), out)
+                out = jnp.where(s_sum < zero, -out, out)
+            else:
+                out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
+                for t in range(nthr):
+                    out = jnp.where(s_sum >= thr_r[0, t].astype(cdt),
+                                    lev_r[0, t + 1].astype(cdt), out)
+            if has_tie:
+                tie_src = vals[op_operands[-1]]
+                tie = jnp.where(tie_src < 0, tlo_r[0, 0].astype(cdt),
+                                thi_r[0, 0].astype(cdt))
+                out = jnp.where(s_sum == zero, tie, out)
+            vals.append(out)
         out_i = vals[-1]
         scr_out[buf, i_out] = out_i.astype(out_dtype)
         ni = out_i < 0
@@ -420,12 +434,16 @@ def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype,
                 d.wait()
 
 
-def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot):
+def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot,
+               flags=None):
     """m_cn (dc, nchk_pad, B), cha (nvar_pad, B) int16 values ->
     (m_vn (dv, nvp, B), bits (nb*Z, B) uint8, unan (B,) bool).
 
     prm: per-op dict with thr (nthr,), levels (nthr+1,), tie_lo, tie_hi
-    for ONE iteration (sliced by the caller / scanned as xs)."""
+    for ONE iteration (sliced by the caller / scanned as xs); for
+    symmetric ops the caller passes the magnitude thresholds/levels in the
+    same slots.  flags: per-op static dicts (sym, has_tie) from
+    ArithLUTDecoder._op_flags; None means full chains with ties."""
     dc, ncp, B = m_cn.shape
     dv = max(e[0] for e in plan) + 1
     NT = _pick_nt(Z, B, dv + 1)
@@ -433,8 +451,11 @@ def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot):
     for k, j, l, i, s in plan:
         kj_plan[j][k] = (l, i, s)
     kj_plan = tuple(tuple(row) for row in kj_plan)
+    if flags is None:
+        flags = [dict(sym=False, has_tie=True) for _ in struct.ops]
     ops_static = tuple(
-        (tuple(int(x) for x in op.operands), int(prm[oi]["thr"].shape[-1]))
+        (tuple(int(x) for x in op.operands), int(prm[oi]["thr"].shape[-1]),
+         bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]))
         for oi, op in enumerate(struct.ops)
     )
     # native int16 compute is exact when every op's accumulation stays in
@@ -444,7 +465,7 @@ def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot):
     is_int = m_cn.dtype == jnp.int16
     ops_ok = all(
         len(opnds) <= 2 or (oi == 0 and use_tot)
-        for oi, (opnds, _) in enumerate(ops_static)
+        for oi, (opnds, *_rest) in enumerate(ops_static)
     )
     # v5e Mosaic lacks packed i16 vector compares; force the f32 path
     int_compute = False and bool(
