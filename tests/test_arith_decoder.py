@@ -132,3 +132,28 @@ def test_int16_matches_table_decoder(codec_reg):
     b2, _, i2 = full(llr_cha, llr_msg)
     assert np.array_equal(np.asarray(b1), np.asarray(b2))
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_sym_factorization_validates(codec_reg):
+    """The symmetric sign x magnitude emission (ArithOpSpec.sym_thr) must
+    validate on ordinary designed codecs — it is the fast kernel path, so
+    a silent universal fallback would be a large perf regression.  (The
+    factorization itself is validated exhaustively over reachable sums at
+    build time; end-to-end correctness is pinned by the bit-identicality
+    suites in this file.)"""
+    for dtype in (np.float32, np.int16):
+        spec = build_arith_spec(codec_reg, dtype=dtype)
+        tot = sym = 0
+        for row in spec.var_trees:
+            for tree in row:
+                for op in tree.ops:
+                    tot += 1
+                    if op.sym_thr is None:
+                        continue
+                    sym += 1
+                    K = len(op.levels)
+                    assert op.sym_thr.shape == (K // 2 - 1,)
+                    assert np.array_equal(op.sym_levels, op.levels[K // 2:])
+                    assert np.array_equal(
+                        op.sym_thr, op.thresholds[K // 2:])
+        assert sym >= tot // 2, f"sym validated on only {sym}/{tot} ops"
