@@ -37,6 +37,8 @@ exactness.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -419,8 +421,9 @@ class ArithLUTDecoder:
             xs = dict(it=jnp.arange(self.S, dtype=jnp.int32))
             xs["var"] = self._var_xs
 
-            def body(carry, x):
+            def body(carry, x, cha_blocks_s):
                 m_vn, done, latched, iters = carry
+                W = m_vn.shape[-1]
                 it = x["it"]
                 m_cn = self._permute_v2c(m_vn)
                 if early_exit:
@@ -431,52 +434,78 @@ class ArithLUTDecoder:
                     done = done | conv
                 outs = []
                 for m in self._cn_blocks_of(m_cn):
-                    outs.append(self._cn_minsum_values(m).reshape(-1, B))
+                    outs.append(self._cn_minsum_values(m).reshape(-1, W))
                 m_cn = jnp.concatenate(outs, axis=0)
                 m_new = self._permute_c2v(m_cn)
                 outs = []
                 for bi, blk in enumerate(lay.vn_blocks):
                     d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
-                    m = m_new[e0 : e0 + n * d].reshape(d, n, B)
-                    out = self._vn_block_update(bi, blk, m, cha_blocks[bi],
+                    m = m_new[e0 : e0 + n * d].reshape(d, n, W)
+                    out = self._vn_block_update(bi, blk, m, cha_blocks_s[bi],
                                                 x["var"][bi])
-                    outs.append(out.reshape(-1, B))
+                    outs.append(out.reshape(-1, W))
                 m_vn = jnp.concatenate(outs, axis=0)
                 # converged frames are not frozen; their outputs are latched
                 # above and later state is never read (output-identical)
                 return (m_vn, done, latched, iters), None
 
             if early_exit and self.S > 0:
-                # true early exit: stop the loop once every frame in the
-                # batch has latched (bit-identical to running the full
-                # budget — converged frames' outputs are frozen above and
-                # later state is never read); cost tracks the batch MAX
-                # iteration count instead of the full budget
+                # true early exit with survivor compaction — the same
+                # funnel as _build_qc_pallas (see the comment there): each
+                # stage's while_loop stops when the undecided count drops
+                # to the next stage's width, survivors are gathered into a
+                # narrower batch, and outputs stay bit-identical (frames
+                # are independent; finished frames latch before shrinking)
                 S = self.S
 
-                def wbody(carry):
-                    it, m_vn, done, latched, iters = carry
-                    x = dict(
-                        it=it,
-                        var=jax.tree_util.tree_map(
-                            lambda a: a[it], self._var_xs
-                        ),
-                    )
-                    (m_vn, done, latched, iters), _ = body(
-                        (m_vn, done, latched, iters), x
-                    )
-                    return (it + 1, m_vn, done, latched, iters)
+                def make_loop(cha_blocks_s, stop_live):
+                    def wbody(carry):
+                        it, m_vn, done, latched, iters = carry
+                        x = dict(
+                            it=it,
+                            var=jax.tree_util.tree_map(
+                                lambda a: a[it], self._var_xs
+                            ),
+                        )
+                        (m_vn, done, latched, iters), _ = body(
+                            (m_vn, done, latched, iters), x, cha_blocks_s
+                        )
+                        return (it + 1, m_vn, done, latched, iters)
 
-                def wcond(carry):
-                    return (carry[0] < S) & ~jnp.all(carry[2])
+                    def wcond(carry):
+                        live = jnp.sum(~carry[2])
+                        return (carry[0] < S) & (live > stop_live)
 
-                it0 = jnp.zeros((), jnp.int32)
-                _, m_vn, done, latched, iters = jax.lax.while_loop(
-                    wcond, wbody, (it0, m_vn, done, latched, iters)
-                )
+                    return wcond, wbody
+
+                widths = self._funnel_widths(B)
+                it = jnp.zeros((), jnp.int32)
+                cha_s = cha_blocks
+                stack = []
+                for si, Wc in enumerate(widths):
+                    nxt = widths[si + 1] if si + 1 < len(widths) else 0
+                    wcond, wbody = make_loop(cha_s, nxt)
+                    it, m_vn, done, latched, iters = jax.lax.while_loop(
+                        wcond, wbody, (it, m_vn, done, latched, iters)
+                    )
+                    if nxt:
+                        idx = jnp.argsort(done)[:nxt]
+                        stack.append((idx, (m_vn, done, latched, iters)))
+                        m_vn = m_vn[:, idx]
+                        done = done[idx]
+                        latched = latched[:, idx]
+                        iters = iters[idx]
+                        cha_s = [c[:, idx] for c in cha_s]
+                for idx, full in reversed(stack):
+                    fm, fd, fl, fi = full
+                    m_vn = fm.at[:, idx].set(m_vn)
+                    done = fd.at[idx].set(done)
+                    latched = fl.at[:, idx].set(latched)
+                    iters = fi.at[idx].set(iters)
             else:
                 (m_vn, done, latched, iters), _ = jax.lax.scan(
-                    body, (m_vn, done, latched, iters), xs
+                    functools.partial(body, cha_blocks_s=cha_blocks),
+                    (m_vn, done, latched, iters), xs
                 )
 
             if raw:
@@ -541,6 +570,29 @@ class ArithLUTDecoder:
         return decode
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _funnel_widths(B: int) -> list:
+        """Stage widths for survivor compaction: [B, B/4, B/16], floored
+        at 512 lanes (below that the kernels lose lane efficiency and the
+        gather overhead dominates).  LUT_FUNNEL overrides: "0"/"off"
+        disables, else comma-separated divisors (e.g. "4,16")."""
+        import os
+
+        env = os.environ.get("LUT_FUNNEL", "")
+        if env.lower() in ("0", "off", "none"):
+            return [B]
+        divs = [4, 16]
+        if env:
+            divs = [int(x) for x in env.split(",") if x.strip()]
+        floor = int(os.environ.get("LUT_FUNNEL_MIN", "512"))
+        widths = [B]
+        for d in divs:
+            w = B // d
+            if w >= floor and w < widths[-1]:
+                widths.append(w)
+        return widths
+
+    # ------------------------------------------------------------------
     def _build_qc_pallas(self, raw: bool = False):
         """Fused-kernel decode loop for the QC+int16 case (qc_kernels.py):
         one CN kernel (v2c rolls + two-min + syndrome) and one VN kernel
@@ -590,7 +642,7 @@ class ArithLUTDecoder:
             xs = dict(it=jnp.arange(self.S, dtype=jnp.int32),
                       var=self._var_xs)
 
-            def body(carry, x):
+            def body(carry, x, vcha_s):
                 m_vn, bits_p, unan_p, done, latched, iters = carry
                 it = x["it"]
                 m_cn, synd = qk.cn_qc_pass(m_vn, plan, Z, mb, cb.n_pad)
@@ -604,39 +656,85 @@ class ArithLUTDecoder:
                     for op, keys in zip(x["var"][0], op_keys)
                 ]
                 m_vn, bits_p, unan_p = qk.vn_qc_pass(
-                    m_cn, vcha, plan, Z, nb, vb.n_pad, struct, prm_it,
+                    m_cn, vcha_s, plan, Z, nb, vb.n_pad, struct, prm_it,
                     use_tot, flags=flags0)
                 return (m_vn, bits_p, unan_p, done, latched, iters), None
 
             if early_exit and self.S > 0:
-                # true early exit (see _build): loop cost tracks the batch
-                # max iteration count, outputs are bit-identical
+                # true early exit with survivor compaction ("funnel"):
+                # each stage is a while_loop that stops when the number of
+                # undecided frames drops to the next stage's width (or the
+                # budget S runs out); the survivors are then gathered into
+                # a narrower batch and the loop continues there, so late
+                # iterations (few live frames) stop paying full-batch
+                # kernel time.  Frames are independent and deterministic,
+                # so outputs are bit-identical to the single-width loop:
+                # finished frames' outputs are latched before compaction,
+                # and a stage's gather provably contains every undecided
+                # frame (the stage cond enforces live <= next width at
+                # exit; a budget exhaustion exit makes every later stage a
+                # zero-iteration no-op).  State of finished filler columns
+                # free-runs, as in the single-width loop.
                 S = self.S
                 var_xs0 = self._var_xs[0]
 
-                def wbody(carry):
-                    it = carry[0]
-                    x = dict(
-                        it=it,
-                        var=[[
-                            {k: op[k][it] for k in op} for op in var_xs0
-                        ]],
+                def make_loop(vcha_s, stop_live):
+                    def wbody(carry):
+                        it = carry[0]
+                        x = dict(
+                            it=it,
+                            var=[[
+                                {k: op[k][it] for k in op} for op in var_xs0
+                            ]],
+                        )
+                        new_carry, _ = body(carry[1:], x, vcha_s)
+                        return (it + 1,) + new_carry
+
+                    def wcond(carry):
+                        live = jnp.sum(~carry[4])
+                        return (carry[0] < S) & (live > stop_live)
+
+                    return wcond, wbody
+
+                widths = self._funnel_widths(B)
+                it = jnp.zeros((), jnp.int32)
+                vcha_s = vcha
+                stack = []  # per shrink: (survivor idx, full-width state)
+                for si, W in enumerate(widths):
+                    nxt = widths[si + 1] if si + 1 < len(widths) else 0
+                    wcond, wbody = make_loop(vcha_s, nxt)
+                    (it, m_vn, bits_p, unan_p, done, latched,
+                     iters) = jax.lax.while_loop(
+                        wcond, wbody,
+                        (it, m_vn, bits_p, unan_p, done, latched, iters),
                     )
-                    new_carry, _ = body(carry[1:], x)
-                    return (it + 1,) + new_carry
-
-                def wcond(carry):
-                    return (carry[0] < S) & ~jnp.all(carry[4])
-
-                it0 = jnp.zeros((), jnp.int32)
-                (_, m_vn, bits_p, unan_p, done, latched,
-                 iters) = jax.lax.while_loop(
-                    wcond, wbody,
-                    (it0, m_vn, bits_p, unan_p, done, latched, iters),
-                )
+                    if nxt:
+                        # stable ascending sort of done: the first `nxt`
+                        # columns contain every undecided frame, padded
+                        # with finished ones
+                        idx = jnp.argsort(done)[:nxt]
+                        stack.append(
+                            (idx, (m_vn, bits_p, unan_p, done, latched,
+                                   iters)))
+                        m_vn = m_vn[:, :, idx]
+                        bits_p = bits_p[:, idx]
+                        unan_p = unan_p[idx]
+                        done = done[idx]
+                        latched = latched[:, idx]
+                        iters = iters[idx]
+                        vcha_s = vcha_s[:, idx]
+                for idx, full in reversed(stack):
+                    fm, fb, fu, fd, fl, fi = full
+                    m_vn = fm.at[:, :, idx].set(m_vn)
+                    bits_p = fb.at[:, idx].set(bits_p)
+                    unan_p = fu.at[idx].set(unan_p)
+                    done = fd.at[idx].set(done)
+                    latched = fl.at[:, idx].set(latched)
+                    iters = fi.at[idx].set(iters)
             else:
                 (m_vn, bits_p, unan_p, done, latched, iters), _ = jax.lax.scan(
-                    body, (m_vn, bits_p, unan_p, done, latched, iters), xs
+                    functools.partial(body, vcha_s=vcha),
+                    (m_vn, bits_p, unan_p, done, latched, iters), xs
                 )
 
             if raw:

@@ -157,3 +157,30 @@ def test_sym_factorization_validates(codec_reg):
                     assert np.array_equal(
                         op.sym_thr, op.thresholds[K // 2:])
         assert sym >= tot // 2, f"sym validated on only {sym}/{tot} ops"
+
+
+def test_funnel_bit_identical(codec_reg, monkeypatch):
+    """Survivor compaction (the funnel) must not change any output: decode
+    a batch with compaction forced at tiny widths and with it disabled;
+    bits/ok/iters must match exactly (also vs the table decoder)."""
+    spec = build_arith_spec(codec_reg, dtype=np.int16)
+    llr_cha, llr_msg = _llrs(codec_reg, 64, 11, snr=2.0)
+
+    monkeypatch.setenv("LUT_FUNNEL", "off")
+    d_off = ArithLUTDecoder(codec_reg, early_exit=True, spec=spec)
+    b0, ok0, i0 = [np.asarray(a) for a in d_off(llr_cha, llr_msg)]
+
+    monkeypatch.setenv("LUT_FUNNEL", "2,4,8")
+    monkeypatch.setenv("LUT_FUNNEL_MIN", "8")
+    d_fun = ArithLUTDecoder(codec_reg, early_exit=True, spec=spec)
+    assert d_fun._funnel_widths(64) == [64, 32, 16, 8]
+    b1, ok1, i1 = [np.asarray(a) for a in d_fun(llr_cha, llr_msg)]
+
+    assert np.array_equal(b0, b1)
+    assert np.array_equal(ok0, ok1)
+    assert np.array_equal(i0, i1)
+
+    full = FastLUTDecoder(codec_reg, early_exit=True)
+    b2, ok2, i2 = [np.asarray(a) for a in full(llr_cha, llr_msg)]
+    assert np.array_equal(b1, b2)
+    assert np.array_equal(i1, i2)
