@@ -126,6 +126,44 @@ def de_sim_lut(cp, out) -> None:
                                Pe_max, thr_prec)
         des.append(de)
 
+    accel = get("Sim", "accelerator_sweep", False,
+                lambda s: s.lower() in ("1", "true", "yes"))
+    if accel:
+        # batched f32 grid evolution on the default JAX device narrows each
+        # search to a tight bracket in a handful of fused programs; the f64
+        # host bisection finishes inside it (SURVEY §2 DE mapping).  The
+        # explorer covers the min-LUT/binary-tree/no-reuse config surface;
+        # anything else keeps the plain host search.
+        explorable = (
+            min_lut
+            and tree_mode in ("auto_bin_balanced", "auto_bin_high")
+            and strategy in ("individual", "joint_root")
+        )
+        if explorable:
+            from ..design.de_lut_tpu import DELutTPU
+
+            for nn, de in enumerate(des):
+                qb_cha, qb_msg, maxiter_de, reuse_iters = pick(nn)
+                if reuse_iters or len(reuse_vec_in) or not np.all(
+                        de.Nq_Msg_vec == de.Nq_Msg_vec[0]):
+                    continue
+                tde = DELutTPU(
+                    ens, 2 ** int(qb_cha), 2 ** int(qb_msg),
+                    maxiter_de=maxiter_de, Pe_max=Pe_max,
+                    max_ni_de_iters=max_ni_de_iters, LLR_max=LLR_max,
+                    Nq_fine=Nq_fine, tree_mode=tree_mode, strategy=strategy)
+                tde.thr_min, tde.thr_max = thr_min, thr_max
+                lo = tde.threshold(points=17, rounds=2)
+                win = (thr_max - thr_min) / 16**2
+                # widen downward: the f32 explorer (Pe floor 1e-6) sits a
+                # touch above the f64 threshold; a window that excludes it
+                # would make the host bisection fail outright
+                de.set_bisec_window(max(thr_min, lo - 4 * win),
+                                    min(lo + 2 * win, thr_max))
+        else:
+            print("de_sim: accelerator_sweep skipped (needs min_lut, binary "
+                  "auto trees, individual/joint_root strategy)")
+
     with ThreadPoolExecutor(max_workers=min(num, 16)) as pool:
         results = list(pool.map(lambda de: de.bisec_search(), des))
     bisec_iters = np.array([r[0] for r in results])
@@ -224,7 +262,11 @@ def de_sim_bp(cp, out) -> None:
             tde.host.set_bisec_window(thr_min, thr_max)
             lo = tde.threshold(points=17, rounds=2)
             win = (thr_max - thr_min) / 16**2
-            de.set_bisec_window(lo, min(lo + 2 * win, thr_max))
+            # widen downward: the f32 explorer (Pe floor 1e-6) sits a touch
+            # above the f64 threshold; a window that excludes it would make
+            # the host bisection fail outright
+            de.set_bisec_window(max(thr_min, lo - 4 * win),
+                                min(lo + 2 * win, thr_max))
     with ThreadPoolExecutor(max_workers=min(len(des), 16)) as pool:
         results = list(pool.map(lambda de: de.bisec_search(), des))
     bisec_iters = np.array([r[0] for r in results])

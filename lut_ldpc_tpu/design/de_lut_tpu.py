@@ -1,0 +1,398 @@
+"""Batched LUT density evolution on the accelerator: the SURVEY §2
+parallelism mapping for the DE-LUT design engine ("DE pmf updates are tiny
+dense ops — batch them").
+
+The host engine (de.DELut) is float64 and sequential over both DE
+iterations and bisection probes — exactly what the reference does
+(/root/reference/src/LDPC_DE.cpp:105-612) and what bit-identical designed
+LUTs require.  Threshold *searches*, however, evaluate evolve() at many
+independent noise levels; this module evaluates a whole sigma grid in ONE
+jitted program:
+
+- the MI-optimal quantizer DP (ops/quant.quant_mi_sym, the engine that
+  designs every LUT) is re-expressed as dense batched tensor math: the
+  partial-MI table g[ap, a] from two prefix-sum outer differences, the
+  boundary recursion as Nq/2-1 unrolled masked argmax steps (first-argmax
+  tie-break like the host), and the LLR sort as a batched stable argsort
+  (stability keeps the permutation symmetric, like sym_llr_sort_unique),
+- LUT-tree evaluation as a static schedule of pairwise pmf joins
+  (Kronecker outer products) extracted from the same tree templates the
+  host engine uses,
+- the min-LUT CN update as suffix-sum min-combinations in the +/-
+  transform domain (ops/pmf.chk_update_minsum, batched),
+- the joint_root irregular strategy as one wider DP over the concatenated
+  weighted root pmfs with per-origin segment sums (de.level_lut_tree_update),
+- per-point exit conditions (Pe < Pe_max, non-improving budget) carried as
+  masks in a lax.while_loop that stops when every sigma has decided.
+
+TPU arithmetic is float32, so a grid evaluation locates the threshold to
+~1e-3 in sigma rather than the 1e-6 the f64 host bisection resolves, and
+duplicate-LLR label merging is skipped (a tie-breaking refinement that
+moves thresholds well below f32 resolution).  threshold() therefore runs
+coarse-to-fine f32 grid rounds on the accelerator and (optionally) hands
+the final bracket to the host f64 engine — sweeps get accelerator
+throughput, published numbers keep host precision.  Explorer scope:
+min-LUT mode, uniform per-iteration message resolution, binary tree
+shapes (auto_bin_balanced / auto_bin_high), individual or joint_root
+design strategy, no LUT reuse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.trees import CHA, VARTREE, LUTTree
+from ..ops.pmf import get_gaussian_pmf, rate_to_shannon_thr
+from ..ops.quant import quant_mi_sym
+from .de import INDIVIDUAL, JOINT_ROOT
+
+__all__ = ["DELutTPU"]
+
+_LOG_FLOOR = 1e-37  # f32 llr-sort guard: masses below this are rounding noise
+
+
+def _tree_schedule(tree: LUTTree) -> list[tuple]:
+    """Post-order list of pairwise joins; sources are 'msg' / 'cha' / int
+    (earlier op index).  The last op is the root."""
+    ops: list[tuple] = []
+
+    def rec(node):
+        if node.is_leaf():
+            return "cha" if node.type == CHA else "msg"
+        subs = [rec(c) for c in node.children]
+        if len(subs) == 1:
+            # degree-1 VN: root over the channel leaf alone; a 16->16
+            # requantization is a relabeling, which DE is invariant to
+            return subs[0]
+        if len(subs) != 2:
+            raise ValueError(
+                "DELutTPU supports binary tree shapes only "
+                "(auto_bin_balanced / auto_bin_high)"
+            )
+        ops.append((subs[0], subs[1]))
+        return len(ops) - 1
+
+    root_src = rec(tree.root)
+    if not ops:
+        # single-leaf tree: pass-through marker
+        ops.append((root_src, None))
+    return ops
+
+
+def _xlog2y(x, y):
+    return jnp.where(x > 0, x * (jnp.log(jnp.where(y > 0, y, 1.0)) / np.log(2.0)), 0.0)
+
+
+class DELutTPU:
+    """Batched-evolve DE engine for min-LUT decoders.
+
+    evolve_batch(sigmas) evaluates a whole noise grid on the default JAX
+    device in one jit; threshold() runs a coarse-to-fine grid search with
+    optional f64 host refinement (pass a host de.DELut via host=).
+    """
+
+    def __init__(self, ens, Nq_Cha: int = 16, Nq_Msg: int = 16,
+                 maxiter_de: int = 200, Pe_max: float = 1e-6,
+                 max_ni_de_iters: int = 1, LLR_max: float = 25.0,
+                 Nq_fine: int = 5000, tree_mode: str = "auto_bin_balanced",
+                 strategy: str = JOINT_ROOT, host=None):
+        if strategy not in (INDIVIDUAL, JOINT_ROOT):
+            raise ValueError(
+                f"DELutTPU supports individual/joint_root strategies, not {strategy}"
+            )
+        self.ens = ens
+        self.Nq_Cha = int(Nq_Cha)
+        self.Nq_Msg = int(Nq_Msg)
+        self.maxiter_de = int(maxiter_de)
+        # f32 floor: pmf tails below ~1e-7 are rounding noise
+        self.Pe_max = max(float(Pe_max), 1e-6)
+        self.max_ni_de_iters = int(max_ni_de_iters)
+        self.LLR_max = float(LLR_max)
+        self.Nq_fine = int(Nq_fine)
+        self.strategy = strategy
+        self.host = host
+        self.thr_min = rate_to_shannon_thr(ens.rate()) * 1e-4
+        self.thr_max = rate_to_shannon_thr(ens.rate())
+
+        # one schedule per active VN degree (same shape every iteration in
+        # min-LUT uniform-resolution mode; the terminal decision tree only
+        # affects the hard output, not the threshold)
+        self._schedules = [
+            _tree_schedule(LUTTree.auto(int(d), VARTREE, tree_mode))
+            for d in ens.degree_lam
+        ]
+        self._evolve = jax.jit(self._build_evolve())
+
+    # -- batched quantizer DP -------------------------------------------
+    def _design(self, p_sorted, K):
+        """MI-optimal boundaries for LLR-sorted symmetric pmfs.
+
+        p_sorted: (S, 2H) ascending-LLR.  Returns astar (S, K/2+1) int32
+        interval boundaries into the upper half, astar[0]=0, astar[K/2]=H.
+        Mirrors ops/quant.quant_mi_sym's DP (common.cpp:276-311) including
+        the first-argmax tie-break, in f32 without duplicate-LLR merging.
+        """
+        Sb, M = p_sorted.shape
+        H = M // 2
+        Kh = K // 2
+        pu = p_sorted[:, H:]
+        plr = p_sorted[:, :H][:, ::-1]
+        zero = jnp.zeros((Sb, 1), p_sorted.dtype)
+        cu0 = jnp.concatenate([zero, jnp.cumsum(pu, axis=1)], axis=1)
+        cl0 = jnp.concatenate([zero, jnp.cumsum(plr, axis=1)], axis=1)
+        # g[ap, a] = partial MI of interval [ap..a] (upper triangle)
+        pp = cu0[:, None, 1:] - cu0[:, :-1, None]   # (S, ap, a)
+        pm = cl0[:, None, 1:] - cl0[:, :-1, None]
+        tot = pp + pm
+        safe = jnp.where(tot > 0, tot, 1.0)
+        g = _xlog2y(pp, 2.0 * pp / safe) + _xlog2y(pm, 2.0 * pm / safe)
+        tri = jnp.arange(H)[None, :, None] <= jnp.arange(H)[None, None, :]
+        g = jnp.where(tri, g, 0.0)
+
+        NEG = jnp.float32(-3.0e38)
+        span = (M - K) // 2
+        col = jnp.arange(H)[None, :]
+        Scol = jnp.where(col <= span, g[:, 0, :], NEG)
+        h_cols = [None]
+        for zz in range(1, Kh):
+            cand = Scol[:, :-1, None] + g[:, 1:, :]       # rows = ap-1
+            ap = jnp.arange(1, H)[None, :, None]
+            valid = (ap >= zz) & (ap <= col[:, None, :])
+            cand = jnp.where(valid, cand, NEG)
+            best_ap = jnp.argmax(cand, axis=1) + 1        # first/lowest wins
+            best_val = jnp.max(cand, axis=1)
+            sel = (col >= zz) & (col <= zz + span)
+            Scol = jnp.where(sel, best_val, NEG)
+            h_cols.append(best_ap.astype(jnp.int32))
+
+        astar = [None] * (Kh + 1)
+        astar[Kh] = jnp.full((Sb,), H, jnp.int32)
+        for kk in range(Kh - 1, 0, -1):
+            astar[kk] = jnp.take_along_axis(
+                h_cols[kk], astar[kk + 1][:, None] - 1, axis=1)[:, 0]
+        astar[0] = jnp.zeros((Sb,), jnp.int32)
+        return jnp.stack(astar, axis=1)  # (S, Kh+1)
+
+    @staticmethod
+    def _interval_sums(masses, astar):
+        """Per-interval sums: masses (S, H), astar (S, Kh+1) -> (S, Kh)."""
+        zero = jnp.zeros_like(masses[:, :1])
+        c0 = jnp.concatenate([zero, jnp.cumsum(masses, axis=1)], axis=1)
+        hi = jnp.take_along_axis(c0, astar[:, 1:], axis=1)
+        lo = jnp.take_along_axis(c0, astar[:, :-1], axis=1)
+        return hi - lo
+
+    def _quantize(self, p, K):
+        """Batched quant_mi_sym (output pmf only): (S, M) -> (S, K)."""
+        logp = jnp.log(jnp.maximum(p, _LOG_FLOOR))
+        llr = logp - logp[:, ::-1]
+        idx = jnp.argsort(llr, axis=1, stable=True)
+        ps = jnp.take_along_axis(p, idx, axis=1)
+        astar = self._design(ps, K)
+        H = p.shape[1] // 2
+        up = self._interval_sums(ps[:, H:], astar)
+        lo = self._interval_sums(ps[:, :H][:, ::-1], astar)
+        return jnp.concatenate([lo[:, ::-1], up], axis=1)
+
+    # -- evolve program ---------------------------------------------------
+    def _build_evolve(self):
+        K = self.Nq_Msg
+        Pe_max = self.Pe_max
+        max_ni = self.max_ni_de_iters
+        maxiter = self.maxiter_de
+        ens = self.ens
+        schedules = self._schedules
+        strategy = self.strategy
+
+        order_c = np.argsort(ens.degree_rho)
+        dc_vec = [int(d) for d in ens.degree_rho[order_c]]
+        rho = [float(x) for x in ens.rho[order_c]]
+        lam = [float(x) for x in ens.lam]
+
+        def min_comb(a, b):
+            # min of two magnitudes: c[k] = a[k]*P(B>=k) + b[k]*P(A>k)
+            b_suf = jnp.cumsum(b[:, ::-1], axis=1)[:, ::-1]
+            a_suf = jnp.cumsum(a[:, ::-1], axis=1)[:, ::-1]
+            a_strict = jnp.concatenate([a_suf[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+            return a * b_suf + b * a_strict
+
+        def chk_update(v2c):
+            # incremental min-LUT CN DE over ascending degrees
+            n = K // 2
+            a_p = v2c[:, n:] + v2c[:, :n][:, ::-1]
+            a_m = v2c[:, n:] - v2c[:, :n][:, ::-1]
+            c_p, c_m = a_p, a_m
+            out = jnp.zeros_like(v2c)
+            dc_tmp = 2
+            for dc, wgt in zip(dc_vec, rho):
+                for _ in range(dc - dc_tmp):
+                    c_p = min_comb(a_p, c_p)
+                    c_m = min_comb(a_m, c_m)
+                dc_tmp = max(dc_tmp, dc)
+                pmf = jnp.concatenate(
+                    [(0.5 * (c_p - c_m))[:, ::-1], 0.5 * (c_p + c_m)], axis=1)
+                out = out + wgt * pmf
+            return out
+
+        def join(pa, pb):
+            # mixed-radix product, input 0 least significant (common.cpp:30)
+            return (pb[:, :, None] * pa[:, None, :]).reshape(pa.shape[0], -1)
+
+        def run_tree(sched, msg, cha):
+            """Post-order evaluation: each internal node's product pmf is
+            MI-quantized before feeding its parent (host: tree_update with
+            var_update at every node).  Returns the ROOT's product pmf
+            (its quantization is the strategy's job)."""
+            outs = []
+            for i, (a, b) in enumerate(sched):
+                if b is None:  # degree-1 VN: root over the channel leaf
+                    outs.append(cha if a == "cha" else msg)
+                    continue
+                pa = msg if a == "msg" else cha if a == "cha" else outs[a]
+                pb = msg if b == "msg" else cha if b == "cha" else outs[b]
+                prod = join(pa, pb)
+                if i == len(sched) - 1:
+                    return prod
+                q = self._quantize(prod, K)
+                outs.append(q / jnp.sum(q, axis=1, keepdims=True))
+            return outs[-1]  # degree-1 pass-through root
+
+        def var_update(c2v, cha):
+            root_prods = [run_tree(s, c2v, cha) for s in schedules]
+            if strategy == INDIVIDUAL or len(schedules) == 1:
+                out = 0.0
+                for wgt, prod in zip(lam, root_prods):
+                    if prod.shape[1] > K:
+                        prod = self._quantize(prod, K)
+                    q = prod / jnp.sum(prod, axis=1, keepdims=True)
+                    out = out + wgt * q
+                return out
+            return joint_root(root_prods)
+
+        def joint_root(root_prods):
+            # de.level_lut_tree_update over the root nodes: concatenate the
+            # weighted half-pmfs symmetrically, one DP, per-origin interval
+            # sums rebuild each degree's output pmf
+            L = len(root_prods)
+            Sb = root_prods[0].shape[0]
+            halves = [p.shape[1] // 2 for p in root_prods]
+            low_w, low_u, up_w, up_u, org = [], [], [], [], []
+            for ll, (p, M2) in enumerate(zip(root_prods, halves)):
+                w = lam[ll]
+                low_w.append(w * p[:, :M2])
+                low_u.append(p[:, :M2])
+                up_w.append(w * p[:, M2:])
+                up_u.append(p[:, M2:])
+                org.append(np.full(M2, ll, np.int32))
+            overall = jnp.concatenate(
+                low_w + [u for u in reversed(up_w)], axis=1)
+            unweighted = jnp.concatenate(
+                low_u + [u for u in reversed(up_u)], axis=1)
+            origin = np.concatenate(org + [o for o in reversed(org)])
+            overall = overall / jnp.sum(overall, axis=1, keepdims=True)
+
+            logp = jnp.log(jnp.maximum(overall, _LOG_FLOOR))
+            llr = logp - logp[:, ::-1]
+            idx = jnp.argsort(llr, axis=1, stable=True)
+            ow = jnp.take_along_axis(overall, idx, axis=1)
+            ou = jnp.take_along_axis(unweighted, idx, axis=1)
+            oo = jnp.broadcast_to(jnp.asarray(origin)[None, :], idx.shape)
+            oo = jnp.take_along_axis(oo, idx, axis=1)
+
+            astar = self._design(ow, K)
+            Ht = ow.shape[1] // 2
+            out = 0.0
+            for ll, wgt in enumerate(lam):
+                m_up = jnp.where(oo[:, Ht:] == ll, ou[:, Ht:], 0.0)
+                m_lo = jnp.where(oo[:, :Ht][:, ::-1] == ll,
+                                 ou[:, :Ht][:, ::-1], 0.0)
+                up = self._interval_sums(m_up, astar)
+                lo = self._interval_sums(m_lo, astar)
+                q = jnp.concatenate([lo[:, ::-1], up], axis=1)
+                q = q / jnp.sum(q, axis=1, keepdims=True)
+                out = out + wgt * q
+            return out
+
+        def pe_of(v2c):
+            return jnp.sum(v2c[:, : K // 2], axis=1)
+
+        def evolve(v2c0, cha):
+            Sb = v2c0.shape[0]
+
+            def cond(carry):
+                it, _, done, _, _ = carry
+                return (it < maxiter) & ~done.all()
+
+            def body(carry):
+                it, v2c, done, Pe_old, ni = carry
+                c2v = chk_update(v2c)
+                v2c_new = var_update(c2v, cha)
+                Pe = pe_of(v2c_new)
+                conv = Pe < Pe_max
+                worse = Pe >= Pe_old
+                ni = jnp.where(~done & worse, ni + 1, ni)
+                fail = ni >= max_ni
+                done_new = done | conv | fail
+                v2c = jnp.where(done[:, None], v2c, v2c_new)
+                Pe_old = jnp.where(done | worse, Pe_old, Pe)
+                return it + 1, v2c, done_new, Pe_old, ni
+
+            done0 = jnp.zeros((Sb,), bool)
+            Pe0 = jnp.ones((Sb,), jnp.float32)
+            ni0 = jnp.zeros((Sb,), jnp.int32)
+            it, v2c, done, _, ni = jax.lax.while_loop(
+                cond, body, (0, v2c0, done0, Pe0, ni0))
+            Pe = pe_of(v2c)
+            return Pe < Pe_max, Pe, it
+
+        return evolve
+
+    # ------------------------------------------------------------------
+    def evolve_batch(self, sigmas) -> tuple[np.ndarray, np.ndarray]:
+        """(converged mask, final Pe) per sigma, one jitted program.
+
+        Channel pmfs are quantized on the host in f64 (exactly like
+        de.DELut.set_channel_pmf) so only the iteration loop runs in f32.
+        """
+        sigmas = np.asarray(sigmas, dtype=np.float64)
+        delta = 2 * self.LLR_max / self.Nq_fine
+        chas, msgs = [], []
+        for s in sigmas:
+            fine = get_gaussian_pmf(2 / s**2, 2 / s, self.Nq_fine, delta)
+            _, p_cha, _ = quant_mi_sym(fine, self.Nq_Cha, is_sorted=True)
+            _, p_msg, _ = quant_mi_sym(fine, self.Nq_Msg, is_sorted=True)
+            chas.append(p_cha)
+            msgs.append(p_msg)
+        cha = jnp.asarray(np.stack(chas), jnp.float32)
+        v2c = jnp.asarray(np.stack(msgs), jnp.float32)
+        ach, Pe, _ = self._evolve(v2c, cha)
+        return np.asarray(ach), np.asarray(Pe)
+
+    def threshold(self, points: int = 17, rounds: int = 3,
+                  refine_host: bool = False) -> float:
+        """Coarse-to-fine batched grid search for the noise threshold.
+
+        Each round evaluates `points` sigmas across the bracket in one
+        program and narrows to the last-converged / first-diverged pair.
+        refine_host finishes with the f64 host engine (requires host=)."""
+        lo, hi = self.thr_min, self.thr_max
+        for _ in range(rounds):
+            grid = np.linspace(lo, hi, points)
+            ach, _ = self.evolve_batch(grid)
+            if not ach.any():
+                hi = grid[1]
+                continue
+            k = int(np.nonzero(ach)[0].max())
+            lo = grid[k]
+            if k + 1 < points:
+                hi = grid[k + 1]
+        if refine_host:
+            if self.host is None:
+                raise ValueError("threshold(refine_host=True) needs host=DELut(...)")
+            self.host.set_bisec_window(lo, hi)
+            _, thr = self.host.bisec_search()
+            return thr if thr > 0 else lo
+        return lo

@@ -1,0 +1,80 @@
+"""Batched DE-LUT explorer (design/de_lut_tpu.py) vs the f64 host engine."""
+
+import numpy as np
+import pytest
+
+from lut_ldpc_tpu.core.ensemble import LDPCEnsemble
+from lut_ldpc_tpu.design.de import DELut
+from lut_ldpc_tpu.design.de_lut_tpu import DELutTPU
+from lut_ldpc_tpu.design.templates import get_lut_tree_templates
+
+# host-measured (3,6) q4 min-LUT threshold at 200 DE iterations (cli/de_sim,
+# recorded in BASELINE.md round 1)
+THR_36_Q4_200 = 0.864391
+
+
+@pytest.fixture(scope="module")
+def ens36():
+    return LDPCEnsemble(np.array([3]), np.array([1.0]),
+                        np.array([6]), np.array([1.0]))
+
+
+def make_host(ens, maxiter=200, Nq=16):
+    nq_vec = np.full(maxiter, Nq, dtype=np.int64)
+    var_luts, _ = get_lut_tree_templates("auto_bin_balanced", ens, nq_vec, Nq, True)
+    de = DELut(ens, Nq, nq_vec, maxiter, var_luts, None)
+    de.set_exit_conditions(max_ni_de_iters=30, Pe_max=1e-6, thr_prec=1e-4)
+    return de
+
+
+def test_batched_convergence_matches_host(ens36):
+    """Converged/diverged decisions agree with the host engine away from
+    the threshold (f32 cannot split hairs exactly at it)."""
+    host = make_host(ens36)
+    tpu = DELutTPU(ens36, maxiter_de=200, Pe_max=1e-6, max_ni_de_iters=30)
+    sigmas = np.array([0.82, 0.85, 0.88, 0.92])
+    ach, _ = tpu.evolve_batch(sigmas)
+    for s, a in zip(sigmas, ach):
+        code, *_ = host.evolve(float(s))
+        assert (code >= 0) == bool(a), (s, code, a)
+
+
+def test_batched_threshold_near_host(ens36):
+    """Grid-refined f32 threshold lands within 3e-3 of the host bisection
+    value pinned from round 1."""
+    tpu = DELutTPU(ens36, maxiter_de=200, Pe_max=1e-6, max_ni_de_iters=30)
+    thr = tpu.threshold(points=9, rounds=3)
+    assert abs(thr - THR_36_Q4_200) < 3e-3, thr
+
+
+def test_refine_host_handoff(ens36):
+    """threshold(refine_host=True) finishes with the f64 engine inside the
+    explorer's bracket and matches the full host search."""
+    host = make_host(ens36)
+    tpu = DELutTPU(ens36, maxiter_de=200, Pe_max=1e-6, max_ni_de_iters=30,
+                   host=host)
+    thr = tpu.threshold(points=9, rounds=2, refine_host=True)
+    # widen the explorer bracket downward like cli/de_sim before refining
+    host.set_bisec_window(max(host.thr_min, thr - 0.02), thr + 0.005)
+    _, thr_full = host.bisec_search()
+    assert thr_full > 0
+    assert abs(thr - thr_full) < 2e-3, (thr, thr_full)
+
+
+def test_irregular_joint_root_decisions():
+    """The published irregular ensemble through the joint_root path:
+    converges well below the 0.9292 threshold, diverges well above."""
+    ens = LDPCEnsemble.read("ensembles/rate0.50_dv02-17_dc08-09_lut_q4.ens")
+    tpu = DELutTPU(ens, maxiter_de=400, Pe_max=1e-6, max_ni_de_iters=30)
+    ach, _ = tpu.evolve_batch(np.array([0.89, 0.96]))
+    assert bool(ach[0]) and not bool(ach[1])
+
+
+@pytest.mark.slow
+def test_irregular_threshold_published():
+    """Full-depth irregular joint_root threshold within 2e-3 of the
+    reference's published f64 value 0.929193 (README.md:175)."""
+    ens = LDPCEnsemble.read("ensembles/rate0.50_dv02-17_dc08-09_lut_q4.ens")
+    tpu = DELutTPU(ens, maxiter_de=2000, Pe_max=1e-6, max_ni_de_iters=30)
+    thr = tpu.threshold(points=9, rounds=3)
+    assert abs(thr - 0.929193) < 2e-3, thr
