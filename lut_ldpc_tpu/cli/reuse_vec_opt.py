@@ -55,6 +55,10 @@ def main(argv=None) -> int:
     ap.add_argument("-v", "--reuse-vec", nargs="+", type=int, default=None)
     ap.add_argument("--lut-table-design", default="joint_root")
     ap.add_argument("--lut-tree-design", default="auto_bin_balanced")
+    ap.add_argument("--accel", type=int, default=0, metavar="TOPK",
+                    help="pre-rank all candidates per round on the "
+                    "accelerator (batched f32 DE, design/de_lut_tpu.py) and "
+                    "evaluate only the TOPK best on the f64 host")
     args = ap.parse_args(argv)
 
     from ..core.ensemble import LDPCEnsemble
@@ -107,6 +111,20 @@ def main(argv=None) -> int:
           f"target number of stages = {args.reuse_stages}, "
           f"stages being added = {num_reuse}")
 
+    accel = None
+    if args.accel:
+        if args.min_approx and args.lut_table_design in ("individual", "joint_root"):
+            from ..design.de_lut_tpu import DELutTPU
+
+            accel = DELutTPU(
+                ens, Nq_Cha, 2**args.quant_bits_msg, maxiter_de=maxiter,
+                Pe_max=args.pmax, max_ni_de_iters=1,
+                LLR_max=MAX_LLR_MAGNITUDE, Nq_fine=NQ_FINE,
+                tree_mode=args.lut_tree_design, strategy=args.lut_table_design)
+        else:
+            print("accel pre-ranking needs min-LUT + individual/joint_root; "
+                  "falling back to host evaluation")
+
     jj = 0
     while jj < num_reuse:
         candidates = [ii for ii in range(1, maxiter) if not reuse_vec[ii]]
@@ -115,10 +133,32 @@ def main(argv=None) -> int:
             rv = reuse_vec.copy()
             rv[ii] = True
             rvs.append(rv)
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            results = list(pool.map(lambda rv: evolve_candidate(rv, thr), rvs))
-        Pe_vec = np.array([r[0] for r in results])
-        iter_vec = np.array([r[1] for r in results])
+        all_candidates, all_rvs = candidates, rvs
+        it_f32 = None
+        if accel is not None and len(rvs) > args.accel:
+            # one batched f32 program ranks every candidate; the f64 host
+            # confirms only the TOPK best (ranking matches the host —
+            # tests/test_de_lut_tpu.py — while Pe values differ in the tail)
+            Pe_f32, it_f32 = accel.prerank_reuse(thr, np.stack(rvs), args.pmax)
+            order = np.argsort(Pe_f32, kind="stable")
+            keep = sorted(order[: args.accel].tolist())
+            candidates = [candidates[i] for i in keep]
+            rvs = [rvs[i] for i in keep]
+
+        def host_eval(rvs_):
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                res = list(pool.map(lambda rv: evolve_candidate(rv, thr), rvs_))
+            return (np.array([r[0] for r in res]),
+                    np.array([r[1] for r in res]))
+
+        Pe_vec, iter_vec = host_eval(rvs)
+        if (it_f32 is not None and iter_vec.min() == maxiter
+                and int(it_f32.min()) < maxiter):
+            # top-k missed the Pe target but the f32 pass says some other
+            # candidate reached it: confirm with a full host round before
+            # scaling the threshold down
+            candidates, rvs = all_candidates, all_rvs
+            Pe_vec, iter_vec = host_eval(rvs)
         if iter_vec.min() == maxiter:
             thr *= args.scale_down
             print(f"Could not reach Pe target, scaling down to thr = {thr:g}")

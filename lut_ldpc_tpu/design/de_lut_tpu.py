@@ -124,7 +124,12 @@ class DELutTPU:
             _tree_schedule(LUTTree.auto(int(d), VARTREE, tree_mode))
             for d in ens.degree_lam
         ]
+        if any(int(d) == 1 for d in ens.degree_lam) and self.Nq_Cha != self.Nq_Msg:
+            raise NotImplementedError(
+                "degree-1 VNs with Nq_Cha != Nq_Msg need a real root requant"
+            )
         self._evolve = jax.jit(self._build_evolve())
+        self._evolve_reuse = {}  # pmax -> jitted reuse-aware program
 
     # -- batched quantizer DP -------------------------------------------
     def _design(self, p_sorted, K):
@@ -197,20 +202,45 @@ class DELutTPU:
         lo = self._interval_sums(ps[:, :H][:, ::-1], astar)
         return jnp.concatenate([lo[:, ::-1], up], axis=1)
 
-    # -- evolve program ---------------------------------------------------
-    def _build_evolve(self):
-        K = self.Nq_Msg
-        Pe_max = self.Pe_max
-        max_ni = self.max_ni_de_iters
-        maxiter = self.maxiter_de
-        ens = self.ens
-        schedules = self._schedules
-        strategy = self.strategy
+    @staticmethod
+    def _labels_from_boundaries(astar, H, K):
+        """Sorted-position labels: (S, Kh+1) boundaries -> (S, 2H) labels."""
+        Kh = K // 2
+        pos = jnp.arange(H)[None, :]
+        iv = (pos[:, None, :] >= astar[:, 1:Kh, None]).sum(axis=1)  # (S, H)
+        return jnp.concatenate([(Kh - 1 - iv)[:, ::-1], Kh + iv], axis=1)
 
+    def _quantize_q(self, p, K):
+        """Batched quant_mi_sym returning (p_out, Q): Q is the label-domain
+        map (S, M) with values 0..K-1, symmetric like the host's Q_out —
+        what LUT reuse re-applies to later-iteration pmfs."""
+        logp = jnp.log(jnp.maximum(p, _LOG_FLOOR))
+        llr = logp - logp[:, ::-1]
+        idx = jnp.argsort(llr, axis=1, stable=True)
+        ps = jnp.take_along_axis(p, idx, axis=1)
+        astar = self._design(ps, K)
+        H = p.shape[1] // 2
+        up = self._interval_sums(ps[:, H:], astar)
+        lo = self._interval_sums(ps[:, :H][:, ::-1], astar)
+        p_out = jnp.concatenate([lo[:, ::-1], up], axis=1)
+        labels = self._labels_from_boundaries(astar, H, K)
+        inv = jnp.argsort(idx, axis=1)
+        Q = jnp.take_along_axis(labels, inv, axis=1).astype(jnp.int32)
+        return p_out, Q
+
+    @staticmethod
+    def _apply_q(p, Q, K):
+        """Re-apply a stored label map: p_out[k] = sum_m p[m]*[Q[m]=k]."""
+        onehot = (Q[:, :, None] == jnp.arange(K)[None, None, :])
+        return jnp.sum(jnp.where(onehot, p[:, :, None], 0.0), axis=1)
+
+    # -- shared per-iteration math ---------------------------------------
+    def _core(self):
+        K = self.Nq_Msg
+        ens = self.ens
         order_c = np.argsort(ens.degree_rho)
         dc_vec = [int(d) for d in ens.degree_rho[order_c]]
         rho = [float(x) for x in ens.rho[order_c]]
-        lam = [float(x) for x in ens.lam]
 
         def min_comb(a, b):
             # min of two magnitudes: c[k] = a[k]*P(B>=k) + b[k]*P(A>k)
@@ -240,6 +270,22 @@ class DELutTPU:
         def join(pa, pb):
             # mixed-radix product, input 0 least significant (common.cpp:30)
             return (pb[:, :, None] * pa[:, None, :]).reshape(pa.shape[0], -1)
+
+        def pe_of(v2c):
+            return jnp.sum(v2c[:, : K // 2], axis=1)
+
+        return chk_update, join, pe_of
+
+    # -- evolve program ---------------------------------------------------
+    def _build_evolve(self):
+        K = self.Nq_Msg
+        Pe_max = self.Pe_max
+        max_ni = self.max_ni_de_iters
+        maxiter = self.maxiter_de
+        schedules = self._schedules
+        strategy = self.strategy
+        lam = [float(x) for x in self.ens.lam]
+        chk_update, join, pe_of = self._core()
 
         def run_tree(sched, msg, cha):
             """Post-order evaluation: each internal node's product pmf is
@@ -316,9 +362,6 @@ class DELutTPU:
                 out = out + wgt * q
             return out
 
-        def pe_of(v2c):
-            return jnp.sum(v2c[:, : K // 2], axis=1)
-
         def evolve(v2c0, cha):
             Sb = v2c0.shape[0]
 
@@ -349,6 +392,183 @@ class DELutTPU:
             return Pe < Pe_max, Pe, it
 
         return evolve
+
+    # -- reuse-aware evolve (design-space tool for reuse_vec_opt) ---------
+    def _build_evolve_reuse(self, pmax: float):
+        """One program evaluating a batch of LUT-reuse vectors at one noise
+        level.  Each node's label-domain Q map is carried in the loop; a
+        reuse iteration re-applies the stored maps instead of designing
+        (de.DELut._var_update_irr's reuse branch, LDPC_DE.cpp:494-515).
+        Returns (final Pe, first iteration with Pe < pmax or maxiter)."""
+        K = self.Nq_Msg
+        max_ni = self.max_ni_de_iters
+        maxiter = self.maxiter_de
+        schedules = self._schedules
+        strategy = self.strategy
+        lam = [float(x) for x in self.ens.lam]
+        chk_update, join, pe_of = self._core()
+
+        # static slot registry: every op (incl. roots) carries a label map;
+        # deg-1 roots map K labels, 2-input joins map K*K
+        slot_sizes = [
+            (K if b is None else K * K)
+            for s in schedules for (a, b) in s
+        ]
+
+        def run_tree_q(sched, msg, cha, reuse_f, Qs, qpos):
+            """Evaluate one tree; design or re-apply per reuse_f.  Returns
+            (root product, root Q slot index, updated Qs, next qpos)."""
+            outs = []
+            root_prod, root_slot = None, None
+            for i, (a, b) in enumerate(sched):
+                if b is None:  # degree-1 root over the channel leaf
+                    outs.append(cha if a == "cha" else msg)
+                    root_prod, root_slot = outs[-1], qpos
+                    qpos += 1
+                    continue
+                pa = msg if a == "msg" else cha if a == "cha" else outs[a]
+                pb = msg if b == "msg" else cha if b == "cha" else outs[b]
+                prod = join(pa, pb)
+                if i == len(sched) - 1:
+                    root_prod, root_slot = prod, qpos
+                    qpos += 1
+                    continue
+                q_new, Q_new = self._quantize_q(prod, K)
+                q_old = self._apply_q(prod, Qs[qpos], K)
+                q = jnp.where(reuse_f[:, None], q_old, q_new)
+                Qs[qpos] = jnp.where(reuse_f[:, None], Qs[qpos], Q_new)
+                outs.append(q / jnp.sum(q, axis=1, keepdims=True))
+                qpos += 1
+            return root_prod, root_slot, Qs, qpos
+
+        def joint_root_q(root_prods):
+            """level_lut_tree_update emitting per-node label maps."""
+            halves = [p.shape[1] // 2 for p in root_prods]
+            low_w, low_u, up_w, up_u, org = [], [], [], [], []
+            for ll, (p, M2) in enumerate(zip(root_prods, halves)):
+                w = lam[ll]
+                low_w.append(w * p[:, :M2])
+                low_u.append(p[:, :M2])
+                up_w.append(w * p[:, M2:])
+                up_u.append(p[:, M2:])
+                org.append(np.full(M2, ll, np.int32))
+            overall = jnp.concatenate(low_w + list(reversed(up_w)), axis=1)
+            unweighted = jnp.concatenate(low_u + list(reversed(up_u)), axis=1)
+            origin = np.concatenate(org + list(reversed(org)))
+            overall = overall / jnp.sum(overall, axis=1, keepdims=True)
+
+            logp = jnp.log(jnp.maximum(overall, _LOG_FLOOR))
+            llr = logp - logp[:, ::-1]
+            idx = jnp.argsort(llr, axis=1, stable=True)
+            ow = jnp.take_along_axis(overall, idx, axis=1)
+            ou = jnp.take_along_axis(unweighted, idx, axis=1)
+            oo = jnp.broadcast_to(jnp.asarray(origin)[None, :], idx.shape)
+            oo = jnp.take_along_axis(oo, idx, axis=1)
+            astar = self._design(ow, K)
+            Ht = ow.shape[1] // 2
+            labels = self._labels_from_boundaries(astar, Ht, K)
+            inv = jnp.argsort(idx, axis=1)
+            Q_overall = jnp.take_along_axis(labels, inv, axis=1).astype(jnp.int32)
+
+            qs, Q_nodes = [], []
+            Mtot = 2 * Ht
+            I = 0
+            for ll, M2 in enumerate(halves):
+                m_up = jnp.where(oo[:, Ht:] == ll, ou[:, Ht:], 0.0)
+                m_lo = jnp.where(oo[:, :Ht][:, ::-1] == ll,
+                                 ou[:, :Ht][:, ::-1], 0.0)
+                up = self._interval_sums(m_up, astar)
+                lo = self._interval_sums(m_lo, astar)
+                q = jnp.concatenate([lo[:, ::-1], up], axis=1)
+                qs.append(q / jnp.sum(q, axis=1, keepdims=True))
+                Q_nodes.append(jnp.concatenate(
+                    [Q_overall[:, I:I + M2],
+                     Q_overall[:, Mtot - I - M2:Mtot - I]], axis=1))
+                I += M2
+            return qs, Q_nodes
+
+        def evolve(v2c0, cha, reuse_mat):
+            C = reuse_mat.shape[0]
+
+            def cond(carry):
+                it, *_ = carry
+                return (carry[0] < maxiter) & ~carry[3].all()
+
+            def body(carry):
+                it, v2c, Qs, done, Pe_old, ni, it_hit = carry
+                reuse_f = reuse_mat[:, it]
+                c2v = chk_update(v2c)
+                root_prods, root_slots = [], []
+                qpos = 0
+                for sched in schedules:
+                    prod, slot, Qs, qpos = run_tree_q(
+                        sched, c2v, cha, reuse_f, Qs, qpos)
+                    root_prods.append(prod)
+                    root_slots.append(slot)
+                if strategy == INDIVIDUAL or len(schedules) == 1:
+                    q_des, Q_des = [], []
+                    for prod in root_prods:
+                        if prod.shape[1] > K:
+                            qd, Qd = self._quantize_q(prod, K)
+                        else:  # degree-1 (Nq_Cha == Nq_Msg): sorted-identity
+                            qd = prod
+                            Qd = jnp.broadcast_to(
+                                jnp.arange(K, dtype=jnp.int32)[None], prod.shape)
+                        q_des.append(qd)
+                        Q_des.append(Qd)
+                else:
+                    q_des, Q_des = joint_root_q(root_prods)
+                v2c_new = 0.0
+                for wgt, prod, slot, qd, Qd in zip(
+                        lam, root_prods, root_slots, q_des, Q_des):
+                    q_old = self._apply_q(prod, Qs[slot], K)
+                    q = jnp.where(reuse_f[:, None], q_old, qd)
+                    Qs[slot] = jnp.where(reuse_f[:, None], Qs[slot], Qd)
+                    q = q / jnp.sum(q, axis=1, keepdims=True)
+                    v2c_new = v2c_new + wgt * q
+                Pe = pe_of(v2c_new)
+                conv = Pe < pmax
+                worse = Pe >= Pe_old
+                ni = jnp.where(~done & worse, ni + 1, ni)
+                fail = ni >= max_ni
+                it_hit = jnp.where(conv & ~done & (it_hit == maxiter), it, it_hit)
+                done_new = done | conv | fail
+                v2c = jnp.where(done[:, None], v2c, v2c_new)
+                Pe_old = jnp.where(done | worse, Pe_old, Pe)
+                return it + 1, v2c, Qs, done_new, Pe_old, ni, it_hit
+
+            Qs0 = [jnp.zeros((C, sz), jnp.int32) for sz in slot_sizes]
+            carry = (0, v2c0, Qs0, jnp.zeros((C,), bool),
+                     jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.int32),
+                     jnp.full((C,), maxiter, jnp.int32))
+            it, v2c, _, done, _, ni, it_hit = jax.lax.while_loop(
+                cond, body, carry)
+            return pe_of(v2c), it_hit
+
+        return evolve
+
+    def prerank_reuse(self, sig: float, reuse_mat, pmax: float = 1e-17):
+        """Evaluate a batch of reuse vectors at noise level sig in one
+        program.  Returns (final Pe, first iteration with Pe < pmax or
+        maxiter) per row — f32 exploration for reuse_vec_opt's greedy
+        search; host f64 confirms the top candidates."""
+        reuse_mat = np.asarray(reuse_mat, dtype=bool)
+        if reuse_mat.ndim != 2 or reuse_mat.shape[1] != self.maxiter_de:
+            raise ValueError("reuse_mat must be (num_candidates, maxiter_de)")
+        if reuse_mat[:, 0].any():
+            raise ValueError("reuse not possible for initial iteration")
+        key = float(pmax)
+        if key not in self._evolve_reuse:
+            self._evolve_reuse[key] = jax.jit(self._build_evolve_reuse(key))
+        C = reuse_mat.shape[0]
+        delta = 2 * self.LLR_max / self.Nq_fine
+        fine = get_gaussian_pmf(2 / sig**2, 2 / sig, self.Nq_fine, delta)
+        _, p_cha, _ = quant_mi_sym(fine, self.Nq_Cha, is_sorted=True)
+        _, p_msg, _ = quant_mi_sym(fine, self.Nq_Msg, is_sorted=True)
+        cha = jnp.broadcast_to(jnp.asarray(p_cha, jnp.float32)[None], (C, self.Nq_Cha))
+        v2c = jnp.broadcast_to(jnp.asarray(p_msg, jnp.float32)[None], (C, self.Nq_Msg))
+        Pe, it_hit = self._evolve_reuse[key](v2c, cha, jnp.asarray(reuse_mat))
+        return np.asarray(Pe), np.asarray(it_hit)
 
     # ------------------------------------------------------------------
     def evolve_batch(self, sigmas) -> tuple[np.ndarray, np.ndarray]:

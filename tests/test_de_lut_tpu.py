@@ -70,6 +70,48 @@ def test_irregular_joint_root_decisions():
     assert bool(ach[0]) and not bool(ach[1])
 
 
+def test_reuse_zeros_matches_plain(ens36):
+    """All-zeros reuse matrix reproduces the plain evolve (same program
+    math through the reuse-select path)."""
+    tpu = DELutTPU(ens36, maxiter_de=30, Pe_max=1e-6, max_ni_de_iters=30)
+    Pe0, it0 = tpu.prerank_reuse(0.80, np.zeros((1, 30), bool), pmax=1e-6)
+    _, Pe_plain = tpu.evolve_batch(np.array([0.80]))
+    assert np.allclose(Pe0, Pe_plain, rtol=1e-4), (Pe0, Pe_plain)
+    assert it0[0] < 30
+
+
+def test_reuse_ranking_matches_host(ens36):
+    """The f32 candidate ranking (what reuse_vec_opt --accel trims with)
+    agrees with f64 host evolves over single-reuse candidates."""
+    M = 30
+    tpu = DELutTPU(ens36, maxiter_de=M, Pe_max=1e-6, max_ni_de_iters=30)
+    cands = []
+    for ii in (1, 3, 7, 15):
+        rv = np.zeros(M, bool)
+        rv[ii] = True
+        cands.append(rv)
+    Pe, it_hit = tpu.prerank_reuse(0.80, np.stack(cands), pmax=1e-17)
+    host = make_host(ens36, maxiter=M)
+    host.Pe_max = 1e-17
+    host.max_ni_de_iters = 30
+    host_Pe = []
+    for rv in cands:
+        host.reuse_vec = rv.copy()
+        _, _, tr, _, _ = host.evolve(0.80, var_trace=True)
+        host_Pe.append(tr[-1])
+    assert list(np.argsort(Pe)) == list(np.argsort(host_Pe))
+    # reuse always hurts vs fresh design; later reuse hurts less
+    assert Pe[0] > Pe[-1]
+
+
+def test_reuse_rejects_initial_iteration(ens36):
+    tpu = DELutTPU(ens36, maxiter_de=10)
+    rm = np.zeros((1, 10), bool)
+    rm[0, 0] = True
+    with pytest.raises(ValueError):
+        tpu.prerank_reuse(0.8, rm)
+
+
 @pytest.mark.slow
 def test_irregular_threshold_published():
     """Full-depth irregular joint_root threshold within 2e-3 of the
