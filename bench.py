@@ -91,8 +91,11 @@ def main():
     y = 1.0 + sig * rng.standard_normal((B, codec.nvar))
     llr = 2.0 * y / sig**2
     llr_cha, llr_msg = codec.quantize_channel(llr)
-    llr_cha = jnp.asarray(llr_cha, jnp.int32)
-    llr_msg = jnp.asarray(llr_msg, jnp.int32)
+    # q4 labels fit int8: transferring (B, N) int32 through the tunneled
+    # chip costs ~20 s at B=8192; int8 is 4x smaller and decodes identically
+    # (the decoder widens internally)
+    llr_cha = jnp.asarray(llr_cha, jnp.int8)
+    llr_msg = jnp.asarray(llr_msg, jnp.int8)
 
     # warmup / compile (twice: the staged decoder adapts its stage plan to
     # the observed iteration distribution after the first call)
