@@ -23,7 +23,7 @@ from .arith import ArithBuildError, build_arith_prefix_spec, build_arith_spec
 from .arith_decoder import ArithLUTDecoder
 from .codec import LUTCodec
 
-__all__ = ["StagedLUTDecoder", "make_staged_decoder"]
+__all__ = ["StagedLUTDecoder", "ChunkedDecoder", "make_staged_decoder"]
 
 
 def _pad_size(n: int, minimum: int = 32) -> int:
@@ -204,6 +204,36 @@ class StagedLUTDecoder:
         return bits, ok, iters
 
 
+class ChunkedDecoder:
+    """Split oversized batches into budget-sized chunks and run the
+    single-jit inner decoder per chunk.  Frames are independent and the
+    inner decoder is deterministic, so outputs are bit-identical to one
+    full-batch call; the short final chunk is padded by repeating frames
+    (sliced away) so every call hits the same compiled program."""
+
+    def __init__(self, inner, chunk: int):
+        self.inner = inner
+        self.chunk = int(chunk)
+
+    def __call__(self, llr_cha, llr_msg):
+        import jax.numpy as jnp
+
+        B = llr_cha.shape[0]
+        if B <= self.chunk:
+            return self.inner(llr_cha, llr_msg)
+        outs = []
+        for lo in range(0, B, self.chunk):
+            hi = min(lo + self.chunk, B)
+            if hi - lo < self.chunk:
+                idx = jnp.asarray(np.resize(np.arange(lo, hi), self.chunk))
+                b, ok, it = self.inner(jnp.take(llr_cha, idx, axis=0),
+                                       jnp.take(llr_msg, idx, axis=0))
+                outs.append((b[: hi - lo], ok[: hi - lo], it[: hi - lo]))
+            else:
+                outs.append(self.inner(llr_cha[lo:hi], llr_msg[lo:hi]))
+        return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
+
+
 def make_staged_decoder(codec: LUTCodec, early_exit: bool = True,
                         max_batch: int = 4096):
     """Best early-exit decoder for the codec.
@@ -211,15 +241,14 @@ def make_staged_decoder(codec: LUTCodec, early_exit: bool = True,
     Since the arithmetic decoder gained a true in-loop early exit
     (lax.while_loop stops at the batch max iteration), host-side staging
     only pays off when the full-budget arithmetic spec does NOT validate
-    (prefix-only codecs, where stragglers need the slow table decoder) or
-    when the graph is big enough to need per-call memory chunking.
-    Either way the outputs are bit-identical.
+    (prefix-only codecs, where stragglers need the slow table decoder).
+    When it does validate but the graph is too big for max_batch frames in
+    one program (DVB-S2 scale), the batch is CHUNKED across bit-identical
+    single-jit calls instead — StagedLUTDecoder's per-stage host round
+    trips and its wasted short-prefix stage cost ~6x at N=64800 over a
+    tunneled device.  Budget overridable via LUT_DECODE_MEM_BUDGET bytes.
 
-    max_batch: largest per-call batch the caller will use.  On big graphs
-    (DVB-S2 scale) the single-jit hybrid fits the intermediate budget at
-    moderate batches, and avoiding StagedLUTDecoder's per-stage host
-    round trips matters enormously when host<->device transfers ride a
-    network tunnel.  Budget overridable via LUT_DECODE_MEM_BUDGET bytes.
+    max_batch: largest per-call batch the caller will use.
     """
     if early_exit:
         import os
@@ -229,13 +258,18 @@ def make_staged_decoder(codec: LUTCodec, early_exit: bool = True,
 
         dec = make_decoder(codec, early_exit=True)
         g = codec.graph
-        # chunking threshold mirrors StagedLUTDecoder._max_pad: if batches
-        # up to max_batch frames fit the intermediate budget, skip staging
+        # chunking threshold mirrors StagedLUTDecoder._max_pad
         budget = int(os.environ.get("LUT_DECODE_MEM_BUDGET", 1 << 30))
-        small = budget // (g.num_edges * int(g.dv_vec.max()) * 2) >= max_batch
+        fit = budget // (g.num_edges * int(g.dv_vec.max()) * 2)
         full_arith = isinstance(dec, ArithLUTDecoder) and not dec.is_prefix
-        if small and (full_arith or isinstance(dec, HybridLUTDecoder)):
-            return dec
+        if full_arith or isinstance(dec, HybridLUTDecoder):
+            if fit >= max_batch:
+                return dec
+            if fit >= 32:
+                chunk = 32
+                while chunk * 2 <= fit:
+                    chunk *= 2
+                return ChunkedDecoder(dec, chunk)
         try:
             return StagedLUTDecoder(codec, early_exit=True)
         except ArithBuildError:

@@ -60,6 +60,36 @@ def test_staged_matches_full(codec):
     assert np.array_equal(it1, np.asarray(it2))
 
 
+def test_chunked_matches_full_batch(codec):
+    """ChunkedDecoder at a tiny chunk (forces splits + a padded final
+    chunk) is bit-identical to one full-batch call on the inner decoder."""
+    from lut_ldpc_tpu.decoder import make_decoder
+    from lut_ldpc_tpu.decoder.staged import ChunkedDecoder
+
+    inner = make_decoder(codec, early_exit=True)
+    chunked = ChunkedDecoder(inner, chunk=40)  # 96 = 40 + 40 + 16 (padded)
+    llr_cha, llr_msg = _llrs(codec, 96, 4)
+    b1, ok1, it1 = chunked(llr_cha, llr_msg)
+    b2, ok2, it2 = inner(llr_cha, llr_msg)
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert np.array_equal(np.asarray(ok1), np.asarray(ok2))
+    assert np.array_equal(np.asarray(it1), np.asarray(it2))
+
+
+def test_make_staged_decoder_chunks_big_graphs(codec, monkeypatch):
+    """When max_batch exceeds the memory budget but the full arithmetic
+    spec validates, the factory returns a ChunkedDecoder around the
+    single-jit decoder, not the host-staged one."""
+    from lut_ldpc_tpu.decoder.staged import ChunkedDecoder, make_staged_decoder
+
+    g = codec.graph
+    per_frame = g.num_edges * int(g.dv_vec.max()) * 2
+    monkeypatch.setenv("LUT_DECODE_MEM_BUDGET", str(per_frame * 64))
+    dec = make_staged_decoder(codec, early_exit=True, max_batch=4096)
+    assert isinstance(dec, ChunkedDecoder)
+    assert dec.chunk == 64
+
+
 @pytest.mark.parametrize("snr", [0.5, 3.0, 6.0])
 def test_staged_matches_full_snrs(codec, snr):
     staged = StagedLUTDecoder(codec)
