@@ -147,8 +147,10 @@ def de_sim_lut(cp, out) -> None:
                 if reuse_iters or len(reuse_vec_in) or not np.all(
                         de.Nq_Msg_vec == de.Nq_Msg_vec[0]):
                     continue
+                # Nq_Msg from the host engine's (possibly Nq_msg_vec-
+                # overridden) resolution vector, not the qbits row
                 tde = DELutTPU(
-                    ens, 2 ** int(qb_cha), 2 ** int(qb_msg),
+                    ens, 2 ** int(qb_cha), int(de.Nq_Msg_vec[0]),
                     maxiter_de=maxiter_de, Pe_max=Pe_max,
                     max_ni_de_iters=max_ni_de_iters, LLR_max=LLR_max,
                     Nq_fine=Nq_fine, tree_mode=tree_mode, strategy=strategy)

@@ -113,7 +113,10 @@ def main(argv=None) -> int:
 
     accel = None
     if args.accel:
-        if args.min_approx and args.lut_table_design in ("individual", "joint_root"):
+        if (args.min_approx
+                and args.lut_table_design in ("individual", "joint_root")
+                and args.lut_tree_design in ("auto_bin_balanced",
+                                             "auto_bin_high")):
             from ..design.de_lut_tpu import DELutTPU
 
             accel = DELutTPU(

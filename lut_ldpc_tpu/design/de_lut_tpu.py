@@ -191,16 +191,9 @@ class DELutTPU:
         return hi - lo
 
     def _quantize(self, p, K):
-        """Batched quant_mi_sym (output pmf only): (S, M) -> (S, K)."""
-        logp = jnp.log(jnp.maximum(p, _LOG_FLOOR))
-        llr = logp - logp[:, ::-1]
-        idx = jnp.argsort(llr, axis=1, stable=True)
-        ps = jnp.take_along_axis(p, idx, axis=1)
-        astar = self._design(ps, K)
-        H = p.shape[1] // 2
-        up = self._interval_sums(ps[:, H:], astar)
-        lo = self._interval_sums(ps[:, :H][:, ::-1], astar)
-        return jnp.concatenate([lo[:, ::-1], up], axis=1)
+        """Batched quant_mi_sym (output pmf only): (S, M) -> (S, K).
+        Same math as _quantize_q; XLA dead-code-eliminates the unused Q."""
+        return self._quantize_q(p, K)[0]
 
     @staticmethod
     def _labels_from_boundaries(astar, H, K):
@@ -375,7 +368,9 @@ class DELutTPU:
                 v2c_new = var_update(c2v, cha)
                 Pe = pe_of(v2c_new)
                 conv = Pe < Pe_max
-                worse = Pe >= Pe_old
+                # host counts only STRICTLY worse iterations (de.py: Pe <=
+                # Pe_old is improving); de_bp's host differs (Pe < Pe_old)
+                worse = Pe > Pe_old
                 ni = jnp.where(~done & worse, ni + 1, ni)
                 fail = ni >= max_ni
                 done_new = done | conv | fail
@@ -408,10 +403,16 @@ class DELutTPU:
         lam = [float(x) for x in self.ens.lam]
         chk_update, join, pe_of = self._core()
 
-        # static slot registry: every op (incl. roots) carries a label map;
-        # deg-1 roots map K labels, 2-input joins map K*K
+        # static slot registry: every op (incl. roots) carries a label map
+        # over its PRODUCT alphabet — K per msg/interior operand, Nq_Cha per
+        # channel leaf (they differ when qbits_channel != qbits_message)
+        Nq_Cha = self.Nq_Cha
+
+        def src_size(src):
+            return Nq_Cha if src == "cha" else K  # interior outputs are K
+
         slot_sizes = [
-            (K if b is None else K * K)
+            (src_size(a) if b is None else src_size(a) * src_size(b))
             for s in schedules for (a, b) in s
         ]
 
@@ -528,7 +529,8 @@ class DELutTPU:
                     v2c_new = v2c_new + wgt * q
                 Pe = pe_of(v2c_new)
                 conv = Pe < pmax
-                worse = Pe >= Pe_old
+                # strictly-worse only, matching the host engine (de.py)
+                worse = Pe > Pe_old
                 ni = jnp.where(~done & worse, ni + 1, ni)
                 fail = ni >= max_ni
                 it_hit = jnp.where(conv & ~done & (it_hit == maxiter), it, it_hit)

@@ -104,6 +104,23 @@ def test_reuse_ranking_matches_host(ens36):
     assert Pe[0] > Pe[-1]
 
 
+def test_reuse_mixed_resolutions(ens36):
+    """Nq_Cha != Nq_Msg: the channel-leaf join's product alphabet is
+    K*Nq_Cha, not K*K — the Q-map slots must size accordingly (regression:
+    this used to crash at trace time)."""
+    M = 12
+    tpu = DELutTPU(ens36, Nq_Cha=32, Nq_Msg=16, maxiter_de=M,
+                   Pe_max=1e-6, max_ni_de_iters=30)
+    rm = np.zeros((2, M), bool)
+    rm[1, 2] = True
+    Pe, it_hit = tpu.prerank_reuse(0.80, rm, pmax=1e-6)
+    assert Pe[1] >= Pe[0]  # reuse never helps
+    # and the zeros row still matches the plain evolve (different fusion
+    # choices across the two programs wiggle the f32 tail a little)
+    _, Pe_plain = tpu.evolve_batch(np.array([0.80]))
+    assert np.allclose(Pe[0], Pe_plain, rtol=3e-3)
+
+
 def test_reuse_rejects_initial_iteration(ens36):
     tpu = DELutTPU(ens36, maxiter_de=10)
     rm = np.zeros((1, 10), bool)
