@@ -132,11 +132,10 @@ def de_sim_lut(cp, out) -> None:
         # batched f32 grid evolution on the default JAX device narrows each
         # search to a tight bracket in a handful of fused programs; the f64
         # host bisection finishes inside it (SURVEY §2 DE mapping).  The
-        # explorer covers the min-LUT/binary-tree/no-reuse config surface;
-        # anything else keeps the plain host search.
+        # explorer covers min-LUT and full-LUT binary-tree no-reuse
+        # configs; anything else keeps the plain host search.
         explorable = (
-            min_lut
-            and tree_mode in ("auto_bin_balanced", "auto_bin_high")
+            tree_mode in ("auto_bin_balanced", "auto_bin_high")
             and strategy in ("individual", "joint_root")
         )
         if explorable:
@@ -153,7 +152,8 @@ def de_sim_lut(cp, out) -> None:
                     ens, 2 ** int(qb_cha), int(de.Nq_Msg_vec[0]),
                     maxiter_de=maxiter_de, Pe_max=Pe_max,
                     max_ni_de_iters=max_ni_de_iters, LLR_max=LLR_max,
-                    Nq_fine=Nq_fine, tree_mode=tree_mode, strategy=strategy)
+                    Nq_fine=Nq_fine, tree_mode=tree_mode, strategy=strategy,
+                    min_lut=min_lut)
                 tde.thr_min, tde.thr_max = thr_min, thr_max
                 lo = tde.threshold(points=17, rounds=2)
                 win = (thr_max - thr_min) / 16**2
@@ -163,8 +163,8 @@ def de_sim_lut(cp, out) -> None:
                 de.set_bisec_window(max(thr_min, lo - 4 * win),
                                     min(lo + 2 * win, thr_max))
         else:
-            print("de_sim: accelerator_sweep skipped (needs min_lut, binary "
-                  "auto trees, individual/joint_root strategy)")
+            print("de_sim: accelerator_sweep skipped (needs binary auto "
+                  "trees and individual/joint_root strategy)")
 
     with ThreadPoolExecutor(max_workers=min(num, 16)) as pool:
         results = list(pool.map(lambda de: de.bisec_search(), des))

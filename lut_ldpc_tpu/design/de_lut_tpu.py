@@ -32,9 +32,10 @@ moves thresholds well below f32 resolution).  threshold() therefore runs
 coarse-to-fine f32 grid rounds on the accelerator and (optionally) hands
 the final bracket to the host f64 engine — sweeps get accelerator
 throughput, published numbers keep host precision.  Explorer scope:
-min-LUT mode, uniform per-iteration message resolution, binary tree
-shapes (auto_bin_balanced / auto_bin_high), individual or joint_root
-design strategy, no LUT reuse.
+min-LUT and full-LUT (CN tree) modes, uniform per-iteration message
+resolution, binary tree shapes (auto_bin_balanced / auto_bin_high),
+individual or joint_root design strategy; reuse pre-ranking
+(prerank_reuse) covers min-LUT.
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.trees import CHA, VARTREE, LUTTree
+from ..core.trees import CHA, CHKTREE, VARTREE, LUTTree
 from ..ops.pmf import get_gaussian_pmf, rate_to_shannon_thr
 from ..ops.quant import quant_mi_sym
 from .de import INDIVIDUAL, JOINT_ROOT
@@ -98,7 +99,7 @@ class DELutTPU:
                  maxiter_de: int = 200, Pe_max: float = 1e-6,
                  max_ni_de_iters: int = 1, LLR_max: float = 25.0,
                  Nq_fine: int = 5000, tree_mode: str = "auto_bin_balanced",
-                 strategy: str = JOINT_ROOT, host=None):
+                 strategy: str = JOINT_ROOT, host=None, min_lut: bool = True):
         if strategy not in (INDIVIDUAL, JOINT_ROOT):
             raise ValueError(
                 f"DELutTPU supports individual/joint_root strategies, not {strategy}"
@@ -113,16 +114,23 @@ class DELutTPU:
         self.LLR_max = float(LLR_max)
         self.Nq_fine = int(Nq_fine)
         self.strategy = strategy
+        self.min_lut = bool(min_lut)
         self.host = host
         self.thr_min = rate_to_shannon_thr(ens.rate()) * 1e-4
         self.thr_max = rate_to_shannon_thr(ens.rate())
 
         # one schedule per active VN degree (same shape every iteration in
-        # min-LUT uniform-resolution mode; the terminal decision tree only
-        # affects the hard output, not the threshold)
+        # uniform-resolution mode; the terminal decision tree only affects
+        # the hard output, not the threshold)
         self._schedules = [
             _tree_schedule(LUTTree.auto(int(d), VARTREE, tree_mode))
             for d in ens.degree_lam
+        ]
+        # full-LUT mode: CN trees over dc-1 message leaves (LDPC_DE.cpp:
+        # 414-489 non-min branch); min-LUT uses the closed-form pmf min-sum
+        self._chk_schedules = None if self.min_lut else [
+            _tree_schedule(LUTTree.auto(int(d) - 1, CHKTREE, tree_mode))
+            for d in ens.degree_rho
         ]
         if any(int(d) == 1 for d in ens.degree_lam) and self.Nq_Cha != self.Nq_Msg:
             raise NotImplementedError(
@@ -309,9 +317,9 @@ class DELutTPU:
                     q = prod / jnp.sum(prod, axis=1, keepdims=True)
                     out = out + wgt * q
                 return out
-            return joint_root(root_prods)
+            return joint_root(root_prods, lam)
 
-        def joint_root(root_prods):
+        def joint_root(root_prods, weights):
             # de.level_lut_tree_update over the root nodes: concatenate the
             # weighted half-pmfs symmetrically, one DP, per-origin interval
             # sums rebuild each degree's output pmf
@@ -320,7 +328,7 @@ class DELutTPU:
             halves = [p.shape[1] // 2 for p in root_prods]
             low_w, low_u, up_w, up_u, org = [], [], [], [], []
             for ll, (p, M2) in enumerate(zip(root_prods, halves)):
-                w = lam[ll]
+                w = weights[ll]
                 low_w.append(w * p[:, :M2])
                 low_u.append(p[:, :M2])
                 up_w.append(w * p[:, M2:])
@@ -344,7 +352,7 @@ class DELutTPU:
             astar = self._design(ow, K)
             Ht = ow.shape[1] // 2
             out = 0.0
-            for ll, wgt in enumerate(lam):
+            for ll, wgt in enumerate(weights):
                 m_up = jnp.where(oo[:, Ht:] == ll, ou[:, Ht:], 0.0)
                 m_lo = jnp.where(oo[:, :Ht][:, ::-1] == ll,
                                  ou[:, :Ht][:, ::-1], 0.0)
@@ -354,6 +362,56 @@ class DELutTPU:
                 q = q / jnp.sum(q, axis=1, keepdims=True)
                 out = out + wgt * q
             return out
+
+        # full-LUT CN: trees of parity/magnitude folds (get_chk_product_pmf,
+        # common.cpp:41-70) with MI quantization per node
+        chk_schedules = self._chk_schedules
+        if chk_schedules is not None:
+            from ..ops.pmf import signed_to_unsigned_map
+
+            rho = [float(x) for x in self.ens.rho]
+            fold_maps = {}
+
+            def chk_join(pa, pb):
+                Ka, Kb = pa.shape[1], pb.shape[1]
+                if (Ka, Kb) not in fold_maps:
+                    # cache the NUMPY map (a jnp constant would leak the
+                    # tracer across separately-traced programs)
+                    fold_maps[(Ka, Kb)] = signed_to_unsigned_map(
+                        np.array([Ka, Kb]))
+                fold = jnp.asarray(fold_maps[(Ka, Kb)])
+                Sb = pa.shape[0]
+                p0 = (pb[:, :, None] * pa[:, None, :]).reshape(Sb, -1)
+                p1 = (pb[:, ::-1][:, :, None]
+                      * pa[:, ::-1][:, None, :]).reshape(Sb, -1)
+                prod0 = 0.5 * (p0 + p1)
+                out = jnp.zeros((Sb, 2 * (Ka // 2) * (Kb // 2)), prod0.dtype)
+                return out.at[:, fold].add(prod0)
+
+            def chk_run_tree(sched, msg):
+                outs = []
+                for i, (a, b) in enumerate(sched):
+                    pa = msg if a == "msg" else outs[a]
+                    pb = msg if b == "msg" else outs[b]
+                    prod = chk_join(pa, pb)
+                    if i == len(sched) - 1:
+                        return prod
+                    q = self._quantize(prod, K)
+                    outs.append(q / jnp.sum(q, axis=1, keepdims=True))
+                raise AssertionError("empty chk schedule")
+
+            def chk_update_full(v2c):
+                root_prods = [chk_run_tree(s, v2c) for s in chk_schedules]
+                if strategy == INDIVIDUAL or len(chk_schedules) == 1:
+                    out = 0.0
+                    for wgt, prod in zip(rho, root_prods):
+                        q = self._quantize(prod, K)
+                        q = q / jnp.sum(q, axis=1, keepdims=True)
+                        out = out + wgt * q
+                    return out
+                return joint_root(root_prods, rho)
+
+            chk_update = chk_update_full
 
         def evolve(v2c0, cha):
             Sb = v2c0.shape[0]
@@ -554,6 +612,9 @@ class DELutTPU:
         program.  Returns (final Pe, first iteration with Pe < pmax or
         maxiter) per row — f32 exploration for reuse_vec_opt's greedy
         search; host f64 confirms the top candidates."""
+        if not self.min_lut:
+            raise NotImplementedError(
+                "reuse pre-ranking covers min-LUT mode only")
         reuse_mat = np.asarray(reuse_mat, dtype=bool)
         if reuse_mat.ndim != 2 or reuse_mat.shape[1] != self.maxiter_de:
             raise ValueError("reuse_mat must be (num_candidates, maxiter_de)")

@@ -19,10 +19,12 @@ def ens36():
                         np.array([6]), np.array([1.0]))
 
 
-def make_host(ens, maxiter=200, Nq=16):
+def make_host(ens, maxiter=200, Nq=16, min_lut=True):
     nq_vec = np.full(maxiter, Nq, dtype=np.int64)
-    var_luts, _ = get_lut_tree_templates("auto_bin_balanced", ens, nq_vec, Nq, True)
-    de = DELut(ens, Nq, nq_vec, maxiter, var_luts, None)
+    var_luts, chk_luts = get_lut_tree_templates(
+        "auto_bin_balanced", ens, nq_vec, Nq, min_lut)
+    de = DELut(ens, Nq, nq_vec, maxiter, var_luts,
+               None if min_lut else chk_luts)
     de.set_exit_conditions(max_ni_de_iters=30, Pe_max=1e-6, thr_prec=1e-4)
     return de
 
@@ -68,6 +70,23 @@ def test_irregular_joint_root_decisions():
     tpu = DELutTPU(ens, maxiter_de=400, Pe_max=1e-6, max_ni_de_iters=30)
     ach, _ = tpu.evolve_batch(np.array([0.89, 0.96]))
     assert bool(ach[0]) and not bool(ach[1])
+
+
+def test_full_lut_mode_matches_host(ens36):
+    """min_lut=False: CN updates through parity/magnitude-fold tree joins.
+    Decisions agree with the host full-LUT engine; the full-LUT threshold
+    beats min-LUT (tree CN is MI-optimal, min-sum is an approximation)."""
+    host = make_host(ens36, min_lut=False)
+    tpu = DELutTPU(ens36, maxiter_de=200, Pe_max=1e-6, max_ni_de_iters=30,
+                   min_lut=False)
+    sigmas = np.array([0.84, 0.87, 0.90])
+    ach, _ = tpu.evolve_batch(sigmas)
+    for s, a in zip(sigmas, ach):
+        code, *_ = host.evolve(float(s))
+        assert (code >= 0) == bool(a), (s, code, a)
+    thr = tpu.threshold(points=9, rounds=3)
+    assert thr > THR_36_Q4_200  # full-LUT CN beats the min approximation
+    assert abs(thr - 0.8692) < 3e-3, thr
 
 
 def test_reuse_zeros_matches_plain(ens36):
