@@ -148,6 +148,35 @@ def test_reuse_rejects_initial_iteration(ens36):
         tpu.prerank_reuse(0.8, rm)
 
 
+def test_de_sim_accel_respects_nq_msg_vec(tmp_path):
+    """Regression: with a uniform [LUT] Nq_msg_vec override, the
+    accelerator bracket must explore the overridden resolution (q3 here),
+    not the qbits row (q4) — otherwise the host bisection window excludes
+    the true threshold and the search fails to 0."""
+    import configparser
+
+    from lut_ldpc_tpu.cli.de_sim import de_sim_lut
+
+    ini = tmp_path / "de.ini"
+    ini.write_text(
+        "[Sim]\n"
+        "ensemble_filename = ensembles/rate0.50_dv03_dc06.ens\n"
+        "thr_prec = 1e-3\nPe_max = 1e-6\nmaxiter_de = 60\n"
+        "max_ni_de_iters = 30\naccelerator_sweep = 1\n"
+        f"results_name = {tmp_path}/report.txt\n"
+        "[LUT]\nqbits = 4 4\nNq_msg_vec = " + " ".join(["3"] * 60)
+        + "\nmin_lut = true\n"
+    )
+    cp = configparser.ConfigParser(inline_comment_prefixes=(";", "#"))
+    cp.read(str(ini))
+    de_sim_lut(cp, None)
+    txt = (tmp_path / "report.txt").read_text()
+    thr = float(txt.split("Threshold(s) found = [")[1].split("]")[0])
+    # q4-channel/q3-message threshold at 60 iters is 0.8452; a search that
+    # failed (0.0) or bisected a wrongly-placed bracket would miss it
+    assert 0.83 < thr < 0.855, thr
+
+
 @pytest.mark.slow
 def test_irregular_threshold_published():
     """Full-depth irregular joint_root threshold within 2e-3 of the
