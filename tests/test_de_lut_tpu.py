@@ -148,6 +148,34 @@ def test_reuse_rejects_initial_iteration(ens36):
         tpu.prerank_reuse(0.8, rm)
 
 
+def test_batched_dp_matches_host_quantizer():
+    """Property: the batched f32 DP reproduces host quant_mi_sym's output
+    pmf on random symmetric inputs (generic position — no exact LLR ties,
+    where the skipped duplicate-merge could differ)."""
+    import jax.numpy as jnp
+
+    from lut_ldpc_tpu.ops.quant import quant_mi_sym as host_quant
+
+    rng = np.random.default_rng(7)
+    ens = LDPCEnsemble(np.array([3]), np.array([1.0]),
+                       np.array([6]), np.array([1.0]))
+    tpu = DELutTPU(ens, maxiter_de=4)
+    M, K, S = 64, 8, 12
+    pmfs = []
+    for _ in range(S):
+        half = rng.uniform(0.05, 1.0, M // 2)
+        p = np.concatenate([half[::-1] * rng.uniform(0.1, 0.9, M // 2)[::-1],
+                            half])
+        pmfs.append(p / p.sum())
+    batch = jnp.asarray(np.stack(pmfs), jnp.float32)
+    import jax
+
+    p_out_f32 = np.asarray(jax.jit(lambda p: tpu._quantize(p, K))(batch))
+    for i, p in enumerate(pmfs):
+        _, p_host, _ = host_quant(p, K)
+        assert np.allclose(p_out_f32[i], p_host, atol=2e-6), i
+
+
 def test_de_sim_accel_respects_nq_msg_vec(tmp_path):
     """Regression: with a uniform [LUT] Nq_msg_vec override, the
     accelerator bracket must explore the overridden resolution (q3 here),
