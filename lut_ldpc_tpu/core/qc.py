@@ -28,8 +28,8 @@ import numpy as np
 
 from .tanner import TannerGraph
 
-__all__ = ["QCStructure", "qc_expand", "qc_generate_regular", "save_qc",
-           "load_qc"]
+__all__ = ["QCStructure", "qc_expand", "qc_generate_regular",
+           "qc_generate_irregular", "save_qc", "load_qc"]
 
 
 @dataclass(frozen=True)
@@ -159,6 +159,132 @@ def qc_generate_regular(dv: int, dc: int, Z: int, nb: int,
             )
         base[i, j] = int(rng.choice(allowed))
     qc = QCStructure(Z=Z, mb=mb, nb=nb, base=base.astype(np.int64))
+    object.__setattr__(qc, "relaxed_circulants", relaxed)
+    return qc
+
+
+def _largest_remainder(fracs: np.ndarray, total: int) -> np.ndarray:
+    """Integer counts summing to `total`, proportional to fracs."""
+    raw = np.asarray(fracs, dtype=np.float64) * total
+    cnt = np.floor(raw).astype(np.int64)
+    order = np.argsort(-(raw - cnt))
+    for k in range(int(total - cnt.sum())):
+        cnt[order[k % len(cnt)]] += 1
+    return cnt
+
+
+def _fit_row_counts(degrees, node_fracs, edges: int,
+                    mb_fixed: int | None = None):
+    """Row-block degree counts c_d >= 0 with sum(c_d * d) == edges, as close
+    to the node-perspective check distribution as integer blocks allow.
+    Returns (mb, counts).  Raises when no active-degree assignment exists."""
+    degrees = np.asarray(degrees, dtype=np.int64)
+    mean_dc = float(np.dot(degrees, node_fracs))
+    mb = int(round(edges / mean_dc))
+    lo = -(-edges // int(degrees.max()))  # ceil
+    hi = edges // int(degrees.min())
+    if mb_fixed is not None:
+        lo = hi = mb = int(mb_fixed)
+    if lo > hi:
+        raise ValueError("qc_generate_irregular: no feasible check-block count")
+    mb = min(max(mb, lo), hi)
+    for mb_try in sorted(range(lo, hi + 1), key=lambda m: abs(m - mb)):
+        cnt = _largest_remainder(np.asarray(node_fracs), mb_try)
+        # repair the edge sum by unit moves between degree classes
+        for _ in range(10000):
+            diff = edges - int(np.dot(cnt, degrees))
+            if diff == 0:
+                return mb_try, cnt
+            moved = False
+            for a in range(len(degrees)):
+                for b in range(len(degrees)):
+                    step = int(degrees[b] - degrees[a])
+                    if step == 0 or cnt[a] == 0:
+                        continue
+                    if (diff > 0 and 0 < step <= diff) or (
+                        diff < 0 and 0 > step >= diff
+                    ):
+                        cnt[a] -= 1
+                        cnt[b] += 1
+                        moved = True
+                        break
+                if moved:
+                    break
+            if not moved:
+                break
+    raise ValueError("qc_generate_irregular: check degrees cannot hit the "
+                     "edge count")
+
+
+def qc_generate_irregular(ensemble, Z: int, nb: int, seed: int = 1,
+                          girth: int = 8, mb: int | None = None
+                          ) -> QCStructure:
+    """Irregular QC code matching an ensemble's degree distributions.
+
+    The node-perspective VN/CN distributions are quantized to multiples of
+    1/nb (largest-remainder), every circulant has weight 1, and each
+    variable block's circulants live in DISTINCT check blocks — so the
+    expanded graph's per-column sorted check order equals the circulant
+    (check-block) order uniformly in z, which is what lets the decoder
+    replace its permutation gathers with per-circulant cyclic rolls
+    (fast_layout.GroupedLayout.qc_roll_plan).  Shifts are greedy-random
+    under the Fossorier cycle conditions (girth 8 with per-circulant
+    relaxation to 6, as in qc_generate_regular).
+
+    The LUT design path is unchanged: LUTs depend only on the (empirical)
+    ensemble and design sigma (/root/reference/src/LDPC_Code_LUT.cpp:699),
+    exactly as with the reference's unstructured PEG construction
+    (/root/reference/peg/BigGirth.C)."""
+    rng = np.random.default_rng(seed)
+    cnt_v = _largest_remainder(ensemble.Lam_node(), nb)
+    dvs = np.asarray(ensemble.degree_lam, dtype=np.int64)
+    dcs = np.asarray(ensemble.degree_rho, dtype=np.int64)
+    edges = int(np.dot(cnt_v, dvs))
+    mb, cnt_c = _fit_row_counts(dcs, ensemble.Rho_node(), edges, mb_fixed=mb)
+    if int(dvs.max()) > mb:
+        raise ValueError(
+            f"max VN degree {int(dvs.max())} exceeds {mb} check blocks; "
+            "increase nb (distinct check blocks per variable block required)"
+        )
+
+    # base bipartite graph: column degrees d_j, row capacities dc_i, no
+    # multi-edges.  Gale-Ryser greedy (highest remaining capacity first)
+    # is guaranteed to succeed when the degree sequence is feasible;
+    # random keys break capacity ties for construction diversity.
+    col_deg = np.repeat(dvs, cnt_v)
+    row_cap = np.repeat(dcs, cnt_c)
+    perm_v = rng.permutation(nb)  # interleave degree classes spatially
+    cap = row_cap.astype(np.int64).copy()
+    base = np.full((mb, nb), -1, dtype=np.int64)
+    picks: dict[int, np.ndarray] = {}
+    for j in perm_v[np.argsort(-col_deg[perm_v], kind="stable")]:
+        d = int(col_deg[j])
+        key = cap + rng.random(mb)  # random tie-break within equal capacity
+        rows = np.argsort(-key, kind="stable")[:d]
+        if cap[rows].min() <= 0:
+            raise ValueError("qc_generate_irregular: infeasible degree "
+                             "sequence (row capacity exhausted)")
+        cap[rows] -= 1
+        picks[int(j)] = np.sort(rows)
+    if cap.max() != 0:
+        raise ValueError("qc_generate_irregular: unassigned check sockets")
+
+    # greedy girth-conditioned shifts, hardest (highest-degree) columns first
+    relaxed = 0
+    for j in perm_v[np.argsort(-col_deg[perm_v], kind="stable")]:
+        for i in picks[int(j)]:
+            forb = _forbidden_shifts(base, Z, int(i), int(j), girth)
+            allowed = [s for s in range(Z) if s not in forb]
+            if not allowed and girth >= 8:
+                forb = _forbidden_shifts(base, Z, int(i), int(j), 6)
+                allowed = [s for s in range(Z) if s not in forb]
+                relaxed += 1
+            if not allowed:
+                raise RuntimeError(
+                    f"no 4-cycle-free shift at block ({i},{j}); increase Z"
+                )
+            base[i, j] = int(rng.choice(allowed))
+    qc = QCStructure(Z=Z, mb=mb, nb=nb, base=base)
     object.__setattr__(qc, "relaxed_circulants", relaxed)
     return qc
 

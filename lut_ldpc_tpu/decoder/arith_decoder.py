@@ -79,11 +79,15 @@ class ArithLUTDecoder:
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
             raise ValueError("arith spec degrees do not match graph blocks")
         self._qc_plan = None
+        self._qc_copies = None
         qc = getattr(codec.graph, "qc", None)
         if qc is not None:
-            # roll-decomposed permutation (validated exact in qc_roll_plan):
+            # roll-decomposed permutation (validated exact in qc_plan):
             # contiguous copies instead of a row gather — the gather is
-            # DMA-issue-bound at ~150 GB/s, rolls run at full HBM bandwidth
+            # DMA-issue-bound at ~150 GB/s, rolls run at full HBM bandwidth.
+            # qc_copies supports any degree mix (irregular QC); qc_roll_plan
+            # is the single-degree form the fused Pallas kernels consume.
+            self._qc_copies = self.layout.qc_plan(qc)
             self._qc_plan = self.layout.qc_roll_plan(qc)
             self._qc = qc
         self._build_constants()
@@ -183,43 +187,39 @@ class ArithLUTDecoder:
     def _permute_v2c(self, m):
         """VN-grouped (E, B) -> CN-grouped (E, B); rolls when QC.
 
-        Pad rows of the output planes are filled with zeros (they are
-        masked out of every reduction; the gather path fills them with row
-        0's values instead — equally arbitrary)."""
-        if self._qc_plan is None:
+        Pad rows of the output are filled with zeros (they are masked out
+        of every reduction; the gather path fills them with row 0's values
+        instead — equally arbitrary)."""
+        if self._qc_copies is None:
             return jnp.take(m, self._perm_v2c, axis=0)
-        qc, B = self._qc, m.shape[1]
-        Z = qc.Z
-        vb, cb = self.layout.vn_blocks[0], self.layout.cn_blocks[0]
-        v = m.reshape(vb.degree, vb.n_pad, B)
-        by_li = {(l, i): (k, j, s) for k, j, l, i, s in self._qc_plan}
-        pad = cb.n_pad - cb.num_nodes
-        filler = [jnp.zeros((pad, B), m.dtype)] if pad else []
-        parts = []
-        for l in range(cb.degree):
-            for i in range(qc.mb):
-                k, j, s = by_li[(l, i)]
-                parts.append(jnp.roll(v[k, j * Z : (j + 1) * Z], s, axis=0))
-            parts.extend(filler)
+        Z, B = self._qc.Z, m.shape[1]
+        parts, pos = [], 0
+        for vs, cs, s in self._qc_copies:  # sorted by cn_start
+            if cs > pos:
+                parts.append(jnp.zeros((cs - pos, B), m.dtype))
+            parts.append(jnp.roll(m[vs : vs + Z], s, axis=0))
+            pos = cs + Z
+        if pos < self.layout.num_edges_cn:
+            parts.append(
+                jnp.zeros((self.layout.num_edges_cn - pos, B), m.dtype)
+            )
         return jnp.concatenate(parts, axis=0)
 
     def _permute_c2v(self, m):
         """CN-grouped (E, B) -> VN-grouped (E, B); inverse rolls when QC."""
-        if self._qc_plan is None:
+        if self._qc_copies is None:
             return jnp.take(m, self._perm_c2v, axis=0)
-        qc, B = self._qc, m.shape[1]
-        Z = qc.Z
-        vb, cb = self.layout.vn_blocks[0], self.layout.cn_blocks[0]
-        c = m.reshape(cb.degree, cb.n_pad, B)
-        by_kj = {(k, j): (l, i, s) for k, j, l, i, s in self._qc_plan}
-        pad = vb.n_pad - vb.num_nodes
-        filler = [jnp.zeros((pad, B), m.dtype)] if pad else []
-        parts = []
-        for k in range(vb.degree):
-            for j in range(qc.nb):
-                l, i, s = by_kj[(k, j)]
-                parts.append(jnp.roll(c[l, i * Z : (i + 1) * Z], -s, axis=0))
-            parts.extend(filler)
+        Z, B = self._qc.Z, m.shape[1]
+        parts, pos = [], 0
+        for vs, cs, s in sorted(self._qc_copies):  # by vn_start
+            if vs > pos:
+                parts.append(jnp.zeros((vs - pos, B), m.dtype))
+            parts.append(jnp.roll(m[cs : cs + Z], -s, axis=0))
+            pos = vs + Z
+        if pos < self.layout.num_edges_vn:
+            parts.append(
+                jnp.zeros((self.layout.num_edges_vn - pos, B), m.dtype)
+            )
         return jnp.concatenate(parts, axis=0)
 
     # ------------------------------------------------------------------

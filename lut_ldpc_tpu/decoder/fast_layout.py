@@ -121,17 +121,22 @@ class GroupedLayout:
         cn_blocks: list[Block] = []
         cnG_edge_orig = []
         cn_var_natural = []  # variable id of each cn-grouped edge (-1 pads)
+        cn_nodes = []  # natural check ids in grouped PADDED order (-1 pads)
         npos = epos = 0
         for d in g.cn_degrees:
             d = int(d)
             nodes = g.cn_node_idx[d]
             n, n_pad = len(nodes), pad(len(nodes))
             cn_blocks.append(Block(d, npos, n, epos, n_pad))
+            cn_nodes.append(np.concatenate(
+                [nodes, np.full(n_pad - n, -1, dtype=nodes.dtype)]))
             cnG_edge_orig.append(block_edges(g.cn_edge_idx[d], n_pad))
             cn_var_natural.append(block_edges(g.cn_var_idx[d], n_pad))
             npos += n_pad
             epos += n_pad * d
         self.cn_blocks = cn_blocks
+        # kept with -1 pads (vn_nodes clamps pads to 0 for gather use)
+        self.cn_nodes = np.concatenate(cn_nodes)
         self.nchk_pad = npos
         self.num_edges_cn = epos
         cnG_edge_orig = np.concatenate(cnG_edge_orig)
@@ -162,6 +167,110 @@ class GroupedLayout:
         ).astype(np.int32)
 
     # ------------------------------------------------------------------
+    def qc_plan(self, qc):
+        """Flat roll decomposition of perm_v2c for a quasi-cyclic graph,
+        valid for ANY mix of degree classes (irregular QC codes,
+        core/qc.py qc_generate_irregular): a list of (vn_start, cn_start,
+        shift) copy descriptors, each meaning
+
+            m_cn[cn_start + z'] = m_vn[vn_start + (z' - shift) % Z]
+
+        for z' in [0, Z), with vn_start/cn_start flat row offsets into the
+        slot-major padded edge arrays.  Descriptors are sorted by cn_start
+        and cover every real CN-grouped row exactly once; uncovered rows
+        are padding.  Requires a slot-major layout, every circulant in a
+        distinct (row, column)-block pair (so per-node sorted edge order
+        equals circulant block order uniformly in z), and Z | every block's
+        node count.  VALIDATED exactly against perm_v2c; returns None when
+        the layout does not admit the decomposition (callers fall back to
+        the gather path)."""
+        if not self.slot_major:
+            return None
+        Z = qc.Z
+        circ = qc.circulants()
+        col_circs: dict[int, list] = {}
+        row_circs: dict[int, list] = {}
+        for i, j, s in circ:
+            col_circs.setdefault(j, []).append((i, s))
+            row_circs.setdefault(i, []).append((j, s))
+        if any(
+            len({i for i, _ in v}) != len(v) for v in col_circs.values()
+        ) or any(
+            len({j for j, _ in v}) != len(v) for v in row_circs.values()
+        ):
+            return None  # weight-2 circulant blocks: sorted order varies in z
+        for v in col_circs.values():
+            v.sort()
+        for v in row_circs.values():
+            v.sort()
+
+        # block lookup: (class index, position within class, base offsets)
+        def block_info(blocks, node_ids, nblocks, zsize):
+            """For each grid block id b, (plane_e0, n_pad, slot0_row) such
+            that slot k of grid block b starts at flat row
+            plane_e0 + k * n_pad + pos * zsize.  None when grid blocks do
+            not tile the classes."""
+            info = {}
+            for blk, ids in zip(blocks, node_ids):
+                if blk.num_nodes % zsize:
+                    return None
+                # class node list must be consecutive zsize-runs of blocks
+                real = ids[: blk.num_nodes]
+                runs = real.reshape(-1, zsize)
+                if not np.array_equal(
+                    runs, runs[:, :1] + np.arange(zsize, dtype=runs.dtype)
+                ):
+                    return None
+                if np.any(runs[:, 0] % zsize):
+                    return None
+                for pos, b0 in enumerate(runs[:, 0] // zsize):
+                    info[int(b0)] = (blk.edge_start, blk.n_pad, pos)
+            return info if len(info) == nblocks else None
+
+        vn_ids = [
+            np.asarray(self.vn_nodes)[blk.node_start : blk.node_start + blk.n_pad]
+            for blk in self.vn_blocks
+        ]
+        cn_ids = [
+            np.asarray(self.cn_nodes)[blk.node_start : blk.node_start + blk.n_pad]
+            for blk in self.cn_blocks
+        ]
+        vinfo = block_info(self.vn_blocks, vn_ids, qc.nb, Z)
+        cinfo = block_info(self.cn_blocks, cn_ids, qc.mb, Z)
+        if vinfo is None or cinfo is None:
+            return None
+
+        copies = []
+        for j, lst in col_circs.items():
+            e0v, npv, posv = vinfo[j]
+            for k, (i, s) in enumerate(lst):
+                l = row_circs[i].index((j, s))
+                e0c, npc, posc = cinfo[i]
+                copies.append((
+                    e0v + k * npv + posv * Z,
+                    e0c + l * npc + posc * Z,
+                    s,
+                ))
+        copies.sort(key=lambda t: t[1])
+
+        # exact validation: reconstruct perm_v2c from the plan on covered
+        # rows and require full coverage of the real CN-grouped rows
+        perm = np.full(self.num_edges_cn, -1, dtype=np.int64)
+        zp = np.arange(Z)
+        for vs, cs, s in copies:
+            if np.any(perm[cs : cs + Z] >= 0):
+                return None
+            perm[cs : cs + Z] = vs + (zp - s) % Z
+        covered = perm >= 0
+        nreal = sum(blk.degree * blk.num_nodes for blk in self.cn_blocks)
+        if int(covered.sum()) != nreal:
+            return None
+        if not np.array_equal(
+            perm[covered], self.perm_v2c.astype(np.int64)[covered]
+        ):
+            return None
+        return tuple(copies)
+
     def qc_roll_plan(self, qc):
         """Per-circulant roll decomposition of perm_v2c for a quasi-cyclic
         graph (core/qc.py): entries (vn_plane k, var block j, cn_plane l,
