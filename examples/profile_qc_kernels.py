@@ -1,6 +1,8 @@
-"""Correctness + speed of the fused QC Pallas kernels.
+"""Correctness + speed of the fused QC Pallas kernels (flat multi-class API).
 
 Usage: python examples/profile_qc_kernels.py [B]
+(on CPU, set LUT_LDPC_PALLAS_INTERPRET=1 to run the kernels in interpret
+mode)
 """
 
 import os
@@ -20,6 +22,9 @@ def timeit(fn, *args, reps=3, warmup=2):
     t0 = time.perf_counter()
     for _ in range(reps):
         out = jax.block_until_ready(fn(*args))
+    # force one scalar fetch: the tunneled device's block_until_ready is
+    # unreliable for timing without a dependent read
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     return (time.perf_counter() - t0) / reps, out
 
 
@@ -35,94 +40,106 @@ def main():
 
     spec = build_arith_prefix_spec(codec, dtype=np.int16)
     dec = ArithLUTDecoder(codec, early_exit=True, spec=spec)
-    plan = dec._qc_plan
-    assert plan is not None
-    qc = dec._qc
+    qcp = dec._qcp
+    assert qcp is not None
     lay = dec.layout
-    vb, cb = lay.vn_blocks[0], lay.cn_blocks[0]
-    Z = qc.Z
+    Z = qcp.Z
+    E_vn, E_cn = lay.num_edges_vn, lay.num_edges_cn
+    nvp = lay.nvar_pad
+    dt = dec._dtype_np
     rng = np.random.default_rng(0)
-    mv3 = jnp.asarray(
-        rng.integers(-2000, 2000, (vb.degree, vb.n_pad, B)).astype(np.int16))
-    cha = jnp.asarray(
-        rng.integers(-2000, 2000, (vb.n_pad, B)).astype(np.int16))
+    mv = jnp.asarray(rng.integers(-2000, 2000, (E_vn + Z, B)).astype(dt))
+    cha = jnp.asarray(rng.integers(-2000, 2000, (nvp, B)).astype(dt))
+
+    real_cn = np.zeros(E_cn, bool)
+    for blk in lay.cn_blocks:
+        for l in range(blk.degree):
+            st = blk.edge_start + l * blk.n_pad
+            real_cn[st : st + blk.num_nodes] = True
+    real_vn = np.zeros(E_vn, bool)
+    for blk in lay.vn_blocks:
+        for l in range(blk.degree):
+            st = blk.edge_start + l * blk.n_pad
+            real_vn[st : st + blk.num_nodes] = True
 
     # ---------- CN correctness vs XLA reference ----------
-    def cn_ref(m3):
-        flat = m3.reshape(-1, B)
-        mc = dec._permute_v2c(flat)
-        mc3 = mc.reshape(cb.degree, cb.n_pad, B)
-        out = dec._cn_minsum_values(mc3)
-        s = jnp.sum((mc3 < 0).astype(jnp.int32), axis=0) & 1
-        synd = jnp.all((s == 0) | dec._cn_padmask[0][:, None], axis=0)
-        return out, synd
+    def cn_ref(m):
+        mc = dec._permute_v2c(m[:E_vn])
+        outs, synds = [], None
+        for bi, mb in enumerate(dec._cn_blocks_of(mc)):
+            outs.append(dec._cn_minsum_values(mb).reshape(-1, B))
+            s = jnp.sum((mb < 0).astype(jnp.int32), axis=0) & 1
+            ok = jnp.all((s == 0) | dec._cn_padmask[bi][:, None], axis=0)
+            synds = ok if synds is None else (synds & ok)
+        return jnp.concatenate(outs, axis=0), synds
 
-    cn_pal = jax.jit(lambda m: qk.cn_qc_pass(m, plan, Z, qc.mb, cb.n_pad))
-    cn_r = jax.jit(cn_ref)
-    (o_r, s_r) = cn_r(mv3)
-    (o_p, s_p) = cn_pal(mv3)
-    nreal = cb.num_nodes
-    eq = bool(jnp.all(o_r[:, :nreal] == o_p[:, :nreal]))
+    cn_pal = jax.jit(lambda m: qk.cn_qc_pass(m, qcp, E_cn))
+    (o_r, s_r) = jax.jit(cn_ref)(mv)
+    (o_p, s_p) = cn_pal(mv)
+    eq = bool(jnp.all(jnp.asarray(o_r)[real_cn] == jnp.asarray(o_p)[:E_cn][real_cn]))
     seq = bool(jnp.all(s_r == s_p))
     print(f"CN fused: values match={eq} synd match={seq}")
 
     # ---------- VN correctness ----------
-    mc3 = jnp.asarray(
-        rng.integers(-2000, 2000, (cb.degree, cb.n_pad, B)).astype(np.int16))
-    struct = dec._var_struct[0]
-    use_tot = struct.ops[0].operands == tuple(range(vb.degree - 1)) \
-        and vb.degree >= 3
-    prm0 = [{k: np.asarray(v)[0] for k, v in op.items()}
-            for op in dec._var_xs[0]]
-    prm0j = [{k: jnp.asarray(v) for k, v in p.items()} for p in prm0]
+    mc = jnp.asarray(rng.integers(-2000, 2000, (E_cn + Z, B)).astype(dt))
+    KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
+    op_keys = [
+        [("sthr", "smag", "tie_lo", "tie_hi") if f["sym"]
+         else ("thr", "levels", "tie_lo", "tie_hi") for f in flags]
+        for flags in dec._op_flags
+    ]
+    prm_it = [
+        [{ks: jnp.asarray(op[k])[0] for ks, k in zip(KSLOTS, keys)}
+         for op, keys in zip(dec._var_xs[bi], op_keys[bi])]
+        for bi in range(len(dec._var_xs))
+    ]
+    xs0 = [
+        [{k: jnp.asarray(v)[0] for k, v in op.items()} for op in ops]
+        for ops in dec._var_xs
+    ]
+    use_tots = [
+        st.ops[0].operands == tuple(range(blk.degree - 1))
+        and blk.degree >= 3 and dec._is_int
+        for st, blk in zip(dec._var_struct, lay.vn_blocks)
+    ]
 
-    def vn_ref(m3, c):
-        flat = m3.reshape(-1, B)
-        mv = dec._permute_c2v(flat).reshape(vb.degree, vb.n_pad, B)
-        out = dec._vn_block_update(0, vb, mv, c, prm0j)
-        neg = out < 0
-        bits = neg[0].astype(jnp.uint8)
-        agree = jnp.all(
-            jnp.all(neg == neg[:1], axis=0) | dec._vn_padmask[0][:, None],
-            axis=0)
-        return out, bits, agree
+    def vn_ref(m, c):
+        mvn = dec._permute_c2v(m[:E_cn])
+        outs = []
+        for bi, blk in enumerate(lay.vn_blocks):
+            d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
+            mb = mvn[e0 : e0 + n * d].reshape(d, n, B)
+            cb = c[blk.node_start : blk.node_start + blk.n_pad]
+            outs.append(
+                dec._vn_block_update(bi, blk, mb, cb, xs0[bi]).reshape(-1, B)
+            )
+        return jnp.concatenate(outs, axis=0)
 
     vn_pal = jax.jit(lambda m, c: qk.vn_qc_pass(
-        m, c, plan, Z, qc.nb, vb.n_pad, struct, prm0, use_tot))
-    vn_r = jax.jit(vn_ref)
-    (vo_r, b_r, a_r) = vn_r(mc3, cha)
-    (vo_p, b_p, a_p) = vn_pal(mc3, cha)
-    nrealv = vb.num_nodes
-    veq = bool(jnp.all(vo_r[:, :nrealv] == vo_p[:, :nrealv]))
-    beq = bool(jnp.all(b_r[:nrealv] == b_p[:nrealv]))
-    aeq = bool(jnp.all(a_r == a_p))
-    print(f"VN fused: values match={veq} bits={beq} unan={aeq}")
+        m, c, qcp, nvp, E_vn, dec._var_struct, prm_it, use_tots,
+        dec._op_flags, out_rows=E_vn + Z))
+    vo_r = jax.jit(vn_ref)(mc, cha)
+    (vo_p, b_p, a_p) = vn_pal(mc, cha)
+    veq = bool(jnp.all(jnp.asarray(vo_r)[real_vn]
+                       == jnp.asarray(vo_p)[:E_vn][real_vn]))
+    print(f"VN fused: values match={veq}")
 
     # ---------- in-scan speed ----------
-    def scan_of(body, init):
-        def run(m):
-            m, _ = jax.lax.scan(body, m, None, length=S)
-            return m
-        return jax.jit(run), init
-
-    def body_cn(m, _):
-        o, s = qk.cn_qc_pass(m, plan, Z, qc.mb, cb.n_pad)
-        # feed back via c2v rolls (XLA) to keep shapes
-        mv = dec._permute_c2v(o.reshape(-1, B)).reshape(vb.degree, vb.n_pad, B)
-        return mv, None
-
     def body_full(m, _):
-        o, s = qk.cn_qc_pass(m, plan, Z, qc.mb, cb.n_pad)
-        mv, bits, unan = qk.vn_qc_pass(
-            o, cha, plan, Z, qc.nb, vb.n_pad, struct, prm0, use_tot)
-        return mv, None
+        o, s = qk.cn_qc_pass(m, qcp, E_cn)
+        mvn, bits, unan = qk.vn_qc_pass(
+            o, cha, qcp, nvp, E_vn, dec._var_struct, prm_it, use_tots,
+            dec._op_flags, out_rows=E_vn + Z)
+        return mvn, None
 
-    for name, (fn, init) in {
-        "CN kernel + XLA c2v": scan_of(body_cn, mv3),
-        "CN + VN kernels": scan_of(body_full, mv3),
-    }.items():
-        t, _ = timeit(fn, init)
-        print(f"{name:22s} {t*1e3/S:6.2f} ms/iter")
+    def run(m):
+        m, _ = jax.lax.scan(body_full, m, None, length=S)
+        return m[:1, :1]
+
+    t, _ = timeit(jax.jit(run), mv)
+    nbytes = (E_vn + E_cn) * B * dt.itemsize * 2
+    print(f"CN + VN kernels  {t*1e3/S:6.2f} ms/iter "
+          f"({nbytes/ (t/S) / 1e9:.0f} GB/s effective)")
 
 
 if __name__ == "__main__":

@@ -227,7 +227,7 @@ def qc_generate_irregular(ensemble, Z: int, nb: int, seed: int = 1,
     expanded graph's per-column sorted check order equals the circulant
     (check-block) order uniformly in z, which is what lets the decoder
     replace its permutation gathers with per-circulant cyclic rolls
-    (fast_layout.GroupedLayout.qc_roll_plan).  Shifts are greedy-random
+    (fast_layout.GroupedLayout.qc_plan).  Shifts are greedy-random
     under the Fossorier cycle conditions (girth 8 with per-circulant
     relaxation to 6, as in qc_generate_regular).
 

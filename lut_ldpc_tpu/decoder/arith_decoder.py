@@ -78,29 +78,31 @@ class ArithLUTDecoder:
         self.layout = GroupedLayout(codec.graph, slot_major=True, align=16)
         if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
             raise ValueError("arith spec degrees do not match graph blocks")
-        self._qc_plan = None
+        self._qcp = None
         self._qc_copies = None
         qc = getattr(codec.graph, "qc", None)
         if qc is not None:
             # roll-decomposed permutation (validated exact in qc_plan):
             # contiguous copies instead of a row gather — the gather is
-            # DMA-issue-bound at ~150 GB/s, rolls run at full HBM bandwidth.
-            # qc_copies supports any degree mix (irregular QC); qc_roll_plan
-            # is the single-degree form the fused Pallas kernels consume.
-            self._qc_copies = self.layout.qc_plan(qc)
-            self._qc_plan = self.layout.qc_roll_plan(qc)
+            # DMA-issue-bound, rolls run at HBM stream bandwidth.  The
+            # QCPlan supports any degree mix (irregular QC); its copies
+            # drive the XLA scan permutes, its cn_rows/vn_cols the fused
+            # Pallas kernels.
+            qcp = self.layout.qc_plan(qc)
+            self._qcp = qcp
+            self._qc_copies = qcp.copies if qcp is not None else None
             self._qc = qc
         self._build_constants()
         self._decode = jax.jit(self._build_qc_pallas() or self._build())
 
     def _use_qc_kernels(self) -> bool:
-        """Fused Pallas path: QC graph (arbitrary shifts), int16 spec,
-        single degree block, running on a real TPU."""
+        """Fused Pallas path: QC graph (arbitrary shifts, any degree mix),
+        int16 or float32 values, running on a real TPU."""
         from .qc_kernels import qc_kernels_supported
 
-        if self._qc_plan is None or not self._is_int:
+        if self._qcp is None:
             return False
-        if len(self.layout.vn_blocks) != 1 or len(self.layout.cn_blocks) != 1:
+        if self._dtype_np not in (np.dtype(np.int16), np.dtype(np.float32)):
             return False
         if self._qc.Z % 8:
             return False
@@ -184,43 +186,55 @@ class ArithLUTDecoder:
         self._dec_specs = self.spec.dec_trees
 
     # ------------------------------------------------------------------
+    def _scan_copies(self, m, srcs, dsts, shifts, out_rows):
+        """Apply the roll-copy plan as ONE lax.scan op: per step, slice a
+        (Z, B) segment, roll it by the step's shift (double + dynamic
+        slice), and write it at the destination offset.
+
+        A single scan keeps the permute at one kernel launch — on this
+        environment's tunneled TPU every launch costs ~40 ms, so the
+        naive concat-of-rolls form (~2 ops per circulant) is latency-dead
+        even though it moves the same bytes.  Unwritten (pad) rows stay
+        zero (masked out of every reduction)."""
+        Z, B = self._qc.Z, m.shape[1]
+        out = jnp.zeros((out_rows, B), m.dtype)
+
+        def body(out, x):
+            src, dst, s = x
+            seg = jax.lax.dynamic_slice(m, (src, 0), (Z, B))
+            seg2 = jnp.concatenate([seg, seg], axis=0)
+            rolled = jax.lax.dynamic_slice(seg2, (s, 0), (Z, B))
+            return jax.lax.dynamic_update_slice(out, rolled, (dst, 0)), None
+
+        out, _ = jax.lax.scan(body, out, (srcs, dsts, shifts))
+        return out
+
     def _permute_v2c(self, m):
-        """VN-grouped (E, B) -> CN-grouped (E, B); rolls when QC.
+        """VN-grouped (E, B) -> CN-grouped (E, B); roll copies when QC.
 
         Pad rows of the output are filled with zeros (they are masked out
         of every reduction; the gather path fills them with row 0's values
         instead — equally arbitrary)."""
         if self._qc_copies is None:
             return jnp.take(m, self._perm_v2c, axis=0)
-        Z, B = self._qc.Z, m.shape[1]
-        parts, pos = [], 0
-        for vs, cs, s in self._qc_copies:  # sorted by cn_start
-            if cs > pos:
-                parts.append(jnp.zeros((cs - pos, B), m.dtype))
-            parts.append(jnp.roll(m[vs : vs + Z], s, axis=0))
-            pos = cs + Z
-        if pos < self.layout.num_edges_cn:
-            parts.append(
-                jnp.zeros((self.layout.num_edges_cn - pos, B), m.dtype)
-            )
-        return jnp.concatenate(parts, axis=0)
+        Z = self._qc.Z
+        vs, cs, s = (np.array(x, dtype=np.int32)
+                     for x in zip(*self._qc_copies))
+        # m_cn[dst + z'] = m_vn[src + (z'-s) % Z] = rolled-by-s segment,
+        # i.e. slice the doubled segment at offset Z - s
+        return self._scan_copies(m, jnp.asarray(vs), jnp.asarray(cs),
+                                 jnp.asarray((Z - s) % Z),
+                                 self.layout.num_edges_cn)
 
     def _permute_c2v(self, m):
-        """CN-grouped (E, B) -> VN-grouped (E, B); inverse rolls when QC."""
+        """CN-grouped (E, B) -> VN-grouped (E, B); inverse roll copies."""
         if self._qc_copies is None:
             return jnp.take(m, self._perm_c2v, axis=0)
-        Z, B = self._qc.Z, m.shape[1]
-        parts, pos = [], 0
-        for vs, cs, s in sorted(self._qc_copies):  # by vn_start
-            if vs > pos:
-                parts.append(jnp.zeros((vs - pos, B), m.dtype))
-            parts.append(jnp.roll(m[cs : cs + Z], -s, axis=0))
-            pos = vs + Z
-        if pos < self.layout.num_edges_vn:
-            parts.append(
-                jnp.zeros((self.layout.num_edges_vn - pos, B), m.dtype)
-            )
-        return jnp.concatenate(parts, axis=0)
+        vs, cs, s = (np.array(x, dtype=np.int32)
+                     for x in zip(*self._qc_copies))
+        return self._scan_copies(m, jnp.asarray(cs), jnp.asarray(vs),
+                                 jnp.asarray(s),
+                                 self.layout.num_edges_vn)
 
     # ------------------------------------------------------------------
     def _vn_blocks_of(self, m):
@@ -594,33 +608,41 @@ class ArithLUTDecoder:
 
     # ------------------------------------------------------------------
     def _build_qc_pallas(self, raw: bool = False):
-        """Fused-kernel decode loop for the QC+int16 case (qc_kernels.py):
-        one CN kernel (v2c rolls + two-min + syndrome) and one VN kernel
-        (c2v rolls + threshold trees + bits/unanimity) per iteration —
-        four HBM passes total.  Returns None when unsupported; outputs are
-        bit-identical to _build() (enforced by the equivalence suites)."""
+        """Fused-kernel decode loop for the QC case (qc_kernels.py): one
+        CN kernel (v2c rolls + two-min + syndrome) and one VN kernel
+        (c2v rolls + per-class threshold trees + bits/unanimity) per
+        iteration — four HBM passes and TWO kernel launches total.
+        Handles any mix of degree classes (irregular QC) in int16 or
+        float32.  Returns None when unsupported; outputs are bit-identical
+        to _build() (enforced by the equivalence suites)."""
         if not self._use_qc_kernels():
             return None
         from . import qc_kernels as qk
 
         lay = self.layout
-        qc = self._qc
-        vb, cb = lay.vn_blocks[0], lay.cn_blocks[0]
-        Z, nb, mb = qc.Z, qc.nb, qc.mb
-        plan = self._qc_plan
+        qcp = self._qcp
+        Z = qcp.Z
         T = self.T
         early_exit = self.early_exit
-        struct = self._var_struct[0]
-        dv = vb.degree
-        use_tot = struct.ops[0].operands == tuple(range(dv - 1)) and dv >= 3
-        nreal = vb.num_nodes  # == nb * Z
+        E_vn, E_cn = lay.num_edges_vn, lay.num_edges_cn
+        nvp = lay.nvar_pad
+        structs = self._var_struct
+        # total-minus-self is exact for integer values only (float rounding
+        # makes (a+b+c)-c != a+b) — same gate as _vn_block_update
+        use_tots = [
+            st.ops[0].operands == tuple(range(blk.degree - 1))
+            and blk.degree >= 3 and self._is_int
+            for st, blk in zip(structs, lay.vn_blocks)
+        ]
         # kernel param slots: (thresholds, levels, tie_lo, tie_hi) — sym
         # ops ride the magnitude thresholds/levels in the same slots
-        flags0 = self._op_flags[0]
         op_keys = [
-            ("sthr", "smag", "tie_lo", "tie_hi") if f["sym"]
-            else ("thr", "levels", "tie_lo", "tie_hi")
-            for f in flags0
+            [
+                ("sthr", "smag", "tie_lo", "tie_hi") if f["sym"]
+                else ("thr", "levels", "tie_lo", "tie_hi")
+                for f in flags
+            ]
+            for flags in self._op_flags
         ]
         KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
 
@@ -630,13 +652,24 @@ class ArithLUTDecoder:
             msg_lab = llr_msg[:, self._vn_nodes].T
             vcha = self._select_values(cha_lab, self._leaf_cha)
             v0 = self._select_values(msg_lab, self._leaf_msg0)
-            m_vn = jnp.broadcast_to(v0[None], (dv, vb.n_pad, B))
-            m_vn = m_vn + jnp.zeros((), self._dtype)  # concretize for scan
+            parts = [
+                jnp.broadcast_to(
+                    v0[blk.node_start : blk.node_start + blk.n_pad][None],
+                    (blk.degree, blk.n_pad, B),
+                ).reshape(-1, B)
+                for blk in lay.vn_blocks
+            ]
+            # Z tail rows park unused output-DMA slots; Z (not NT) keeps
+            # the funnel's carry shape independent of the stage width
+            parts.append(jnp.zeros((Z, B), self._dtype))
+            m_vn = jnp.concatenate(parts, axis=0)  # (E_vn + Z, B)
 
-            bits_p = jnp.zeros((nreal, B), dtype=jnp.uint8)
+            # int8 end-to-end in the loop (the kernel emits int8 sign
+            # bits; a uint8 cast would cost a full pass per iteration)
+            bits_p = jnp.zeros((nvp, B), dtype=jnp.int8)
             unan_p = jnp.zeros((B,), dtype=bool)
             done = jnp.zeros((B,), dtype=bool)
-            latched = jnp.zeros((nreal, B), dtype=jnp.uint8)
+            latched = jnp.zeros((nvp, B), dtype=jnp.int8)
             iters = jnp.full((B,), T, dtype=jnp.int32)
 
             xs = dict(it=jnp.arange(self.S, dtype=jnp.int32),
@@ -645,19 +678,22 @@ class ArithLUTDecoder:
             def body(carry, x, vcha_s):
                 m_vn, bits_p, unan_p, done, latched, iters = carry
                 it = x["it"]
-                m_cn, synd = qk.cn_qc_pass(m_vn, plan, Z, mb, cb.n_pad)
+                m_cn, synd = qk.cn_qc_pass(m_vn, qcp, E_cn)
                 if early_exit:
                     conv = unan_p & synd & (it >= 1) & ~done
                     latched = jnp.where(conv[None, :], bits_p, latched)
                     iters = jnp.where(conv, it, iters)
                     done = done | conv
                 prm_it = [
-                    {ks: op[k] for ks, k in zip(KSLOTS, keys)}
-                    for op, keys in zip(x["var"][0], op_keys)
+                    [
+                        {ks: op[k] for ks, k in zip(KSLOTS, keys)}
+                        for op, keys in zip(x["var"][bi], op_keys[bi])
+                    ]
+                    for bi in range(len(structs))
                 ]
                 m_vn, bits_p, unan_p = qk.vn_qc_pass(
-                    m_cn, vcha_s, plan, Z, nb, vb.n_pad, struct, prm_it,
-                    use_tot, flags=flags0)
+                    m_cn, vcha_s, qcp, nvp, E_vn, structs, prm_it,
+                    use_tots, self._op_flags, out_rows=E_vn + Z)
                 return (m_vn, bits_p, unan_p, done, latched, iters), None
 
             if early_exit and self.S > 0:
@@ -676,16 +712,16 @@ class ArithLUTDecoder:
                 # zero-iteration no-op).  State of finished filler columns
                 # free-runs, as in the single-width loop.
                 S = self.S
-                var_xs0 = self._var_xs[0]
 
                 def make_loop(vcha_s, stop_live):
                     def wbody(carry):
                         it = carry[0]
                         x = dict(
                             it=it,
-                            var=[[
-                                {k: op[k][it] for k in op} for op in var_xs0
-                            ]],
+                            var=[
+                                [{k: op[k][it] for k in op} for op in ops]
+                                for ops in self._var_xs
+                            ],
                         )
                         new_carry, _ = body(carry[1:], x, vcha_s)
                         return (it + 1,) + new_carry
@@ -716,7 +752,7 @@ class ArithLUTDecoder:
                         stack.append(
                             (idx, (m_vn, bits_p, unan_p, done, latched,
                                    iters)))
-                        m_vn = m_vn[:, :, idx]
+                        m_vn = m_vn[:, idx]
                         bits_p = bits_p[:, idx]
                         unan_p = unan_p[idx]
                         done = done[idx]
@@ -725,7 +761,7 @@ class ArithLUTDecoder:
                         vcha_s = vcha_s[:, idx]
                 for idx, full in reversed(stack):
                     fm, fb, fu, fd, fl, fi = full
-                    m_vn = fm.at[:, :, idx].set(m_vn)
+                    m_vn = fm.at[:, idx].set(m_vn)
                     bits_p = fb.at[:, idx].set(bits_p)
                     unan_p = fu.at[idx].set(unan_p)
                     done = fd.at[idx].set(done)
@@ -738,9 +774,9 @@ class ArithLUTDecoder:
                 )
 
             if raw:
-                return m_vn.reshape(-1, B), done, latched, iters
+                return m_vn, done, latched.astype(jnp.uint8), iters
 
-            m_cn, synd = qk.cn_qc_pass(m_vn, plan, Z, mb, cb.n_pad)
+            m_cn, synd = qk.cn_qc_pass(m_vn, qcp, E_cn)
             if early_exit and self.S >= 1:
                 conv = unan_p & synd & ~done
                 latched = jnp.where(conv[None, :], bits_p, latched)
@@ -749,39 +785,52 @@ class ArithLUTDecoder:
 
             if self.is_prefix:
                 bits = jnp.take(latched, self._vn_node_pos, axis=0).T
-                return bits, done, iters
+                return bits.astype(jnp.uint8), done, iters
 
             # XLA tail (once per decode): c2v of the kernel's CN-updated
             # messages, then the DECTREE decision pass
-            m_fin = self._permute_c2v(m_cn.reshape(-1, B))
-            d, n = vb.degree, vb.n_pad
-            m = m_fin.reshape(d, n, B)
-            spec = self._dec_specs[0]
-            x_vals = [m[j2] for j2 in range(d)] + [vcha]
-            prm = []
-            for op in spec.ops:
-                p = dict(thr=jnp.asarray(op.thresholds),
-                         levels=jnp.asarray(op.levels),
-                         tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
-                         tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)))
-                if self._is_int:
-                    lv = np.asarray(op.levels, np.int64)
-                    p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
-                    p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
-                prm.append(p)
-            out = self._eval_tree(spec, x_vals, prm)  # (n_pad, B)
-            dec_bits = (out < 0).astype(jnp.uint8)[:nreal]
+            m_fin = self._permute_c2v(m_cn[:E_cn])
+            dec_bits = []
+            for bi, blk in enumerate(lay.vn_blocks):
+                d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
+                m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
+                spec = self._dec_specs[bi]
+                cha_b = vcha[blk.node_start : blk.node_start + blk.n_pad]
+                x_vals = [m[j2] for j2 in range(d)] + [cha_b]
+                prm = []
+                for op in spec.ops:
+                    p = dict(
+                        thr=jnp.asarray(op.thresholds),
+                        levels=jnp.asarray(op.levels),
+                        tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
+                        tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)),
+                    )
+                    if self._is_int:
+                        lv = np.asarray(op.levels, np.int64)
+                        p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
+                        p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
+                    prm.append(p)
+                out = self._eval_tree(spec, x_vals, prm)  # (n_pad, B)
+                dec_bits.append((out < 0).astype(jnp.int8))
+            dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar_pad, B)
 
             bits_grp = jnp.where(done[None, :], latched, dec_bits)
             edge_bits = jnp.take(bits_grp, self._cn_var_pos, axis=0)
-            dcb, ncb = cb.degree, cb.n_pad
-            s = jnp.sum(
-                edge_bits.reshape(dcb, ncb, B).astype(jnp.int32), axis=0
-            ) & 1
-            s_ok = jnp.all((s == 0) | self._cn_padmask[0][:, None], axis=0)
+            s_ok = None
+            pos = 0
+            for bi, blk in enumerate(lay.cn_blocks):
+                d, n = blk.degree, blk.n_pad
+                s = jnp.sum(
+                    edge_bits[pos : pos + n * d].reshape(d, n, B)
+                    .astype(jnp.int32),
+                    axis=0,
+                ) & 1
+                ok = jnp.all((s == 0) | self._cn_padmask[bi][:, None], axis=0)
+                s_ok = ok if s_ok is None else (s_ok & ok)
+                pos += n * d
             ok = done | s_ok
             bits = jnp.take(bits_grp, self._vn_node_pos, axis=0).T
-            return bits, ok, iters
+            return bits.astype(jnp.uint8), ok, iters
 
         return decode
 

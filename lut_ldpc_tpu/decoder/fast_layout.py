@@ -34,6 +34,7 @@ from .layout import TreeProgram, leave_one_out_idx, tree_program
 
 __all__ = [
     "GroupedLayout",
+    "QCPlan",
     "compose_var_loo_table",
     "compose_dec_table",
     "MAX_COMPOSED_ENTRIES",
@@ -49,6 +50,32 @@ class Block:
     num_nodes: int  # REAL nodes in this block
     edge_start: int  # start in grouped edge order (padded coordinates)
     n_pad: int = 0  # padded node count (== num_nodes when align == 1)
+
+
+@dataclass(frozen=True)
+class QCPlan:
+    """Roll decomposition of a QC graph's message permutations over the
+    slot-major padded edge arrays, in two equivalent views:
+
+    - ``copies``: flat (vn_start, cn_start, shift) descriptors, one per
+      circulant, sorted by cn_start; m_cn[cn_start + z'] =
+      m_vn[vn_start + (z' - shift) % Z] for z' in [0, Z).  Consumed by the
+      XLA scan-copy permutes.
+    - ``cn_rows`` / ``vn_cols``: per-grid-block static DMA tables for the
+      fused Pallas kernels.  cn_rows[i] = (class_idx, ((vn_base, shift),
+      ...) one per CN slot, (cn_base, ...) one per slot) for check block i
+      in CN-grouped layout-block order; vn_cols[j] likewise for variable
+      block j with node_base (flat row into the grouped node arrays) for
+      the channel/bits planes.
+
+    Validated exactly against the layout's perm_v2c at construction."""
+
+    Z: int
+    copies: tuple  # ((vn_start, cn_start, shift), ...)
+    cn_rows: tuple  # ((class_idx, ((vn_base, s), ...), (cn_base, ...)), ...)
+    vn_cols: tuple  # ((class_idx, node_base, ((cn_base, s), ...), (vn_base, ...)), ...)
+    cn_degrees: tuple  # per CN class degree
+    vn_degrees: tuple  # per VN class degree
 
 
 class GroupedLayout:
@@ -204,14 +231,15 @@ class GroupedLayout:
         for v in row_circs.values():
             v.sort()
 
-        # block lookup: (class index, position within class, base offsets)
+        # block lookup: (class index, edge/node bases, position in class)
         def block_info(blocks, node_ids, nblocks, zsize):
-            """For each grid block id b, (plane_e0, n_pad, slot0_row) such
-            that slot k of grid block b starts at flat row
-            plane_e0 + k * n_pad + pos * zsize.  None when grid blocks do
-            not tile the classes."""
+            """For each grid block id b, (class_idx, plane_e0, n_pad,
+            node_start, pos) such that slot k of grid block b starts at
+            flat edge row plane_e0 + k * n_pad + pos * zsize and its nodes
+            at grouped node row node_start + pos * zsize.  None when grid
+            blocks do not tile the classes."""
             info = {}
-            for blk, ids in zip(blocks, node_ids):
+            for ci, (blk, ids) in enumerate(zip(blocks, node_ids)):
                 if blk.num_nodes % zsize:
                     return None
                 # class node list must be consecutive zsize-runs of blocks
@@ -224,7 +252,9 @@ class GroupedLayout:
                 if np.any(runs[:, 0] % zsize):
                     return None
                 for pos, b0 in enumerate(runs[:, 0] // zsize):
-                    info[int(b0)] = (blk.edge_start, blk.n_pad, pos)
+                    info[int(b0)] = (
+                        ci, blk.edge_start, blk.n_pad, blk.node_start, pos
+                    )
             return info if len(info) == nblocks else None
 
         vn_ids = [
@@ -240,17 +270,19 @@ class GroupedLayout:
         if vinfo is None or cinfo is None:
             return None
 
+        def vn_flat(j, k):
+            _, e0v, npv, _, posv = vinfo[j]
+            return e0v + k * npv + posv * Z
+
+        def cn_flat(i, l):
+            _, e0c, npc, _, posc = cinfo[i]
+            return e0c + l * npc + posc * Z
+
         copies = []
         for j, lst in col_circs.items():
-            e0v, npv, posv = vinfo[j]
             for k, (i, s) in enumerate(lst):
                 l = row_circs[i].index((j, s))
-                e0c, npc, posc = cinfo[i]
-                copies.append((
-                    e0v + k * npv + posv * Z,
-                    e0c + l * npc + posc * Z,
-                    s,
-                ))
+                copies.append((vn_flat(j, k), cn_flat(i, l), s))
         copies.sort(key=lambda t: t[1])
 
         # exact validation: reconstruct perm_v2c from the plan on covered
@@ -269,49 +301,38 @@ class GroupedLayout:
             perm[covered], self.perm_v2c.astype(np.int64)[covered]
         ):
             return None
-        return tuple(copies)
 
-    def qc_roll_plan(self, qc):
-        """Per-circulant roll decomposition of perm_v2c for a quasi-cyclic
-        graph (core/qc.py): entries (vn_plane k, var block j, cn_plane l,
-        chk block i, shift s) such that
+        # per-grid-block kernel tables, in layout (class, position) order
+        cn_order = sorted(range(qc.mb), key=lambda i: (cinfo[i][0], cinfo[i][4]))
+        vn_order = sorted(range(qc.nb), key=lambda j: (vinfo[j][0], vinfo[j][4]))
+        cn_rows = []
+        for i in cn_order:
+            ci = cinfo[i][0]
+            src = tuple(
+                (vn_flat(j, col_circs[j].index((i, s))), s)
+                for j, s in row_circs[i]
+            )
+            dst = tuple(cn_flat(i, l) for l in range(len(row_circs[i])))
+            cn_rows.append((ci, src, dst))
+        vn_cols = []
+        for j in vn_order:
+            ci, _, _, node_start, pos = vinfo[j]
+            node_base = node_start + pos * Z
+            src = tuple(
+                (cn_flat(i, row_circs[i].index((j, s))), s)
+                for i, s in col_circs[j]
+            )
+            dst = tuple(vn_flat(j, k) for k in range(len(col_circs[j])))
+            vn_cols.append((ci, node_base, src, dst))
+        return QCPlan(
+            Z=Z,
+            copies=tuple(copies),
+            cn_rows=tuple(cn_rows),
+            vn_cols=tuple(vn_cols),
+            cn_degrees=tuple(blk.degree for blk in self.cn_blocks),
+            vn_degrees=tuple(blk.degree for blk in self.vn_blocks),
+        )
 
-            m_cn[l*nchk + i*Z + z'] = m_vn[k*nvar + j*Z + (z'-s) % Z]
-
-        i.e. CN plane segment (l, i) = roll(VN plane segment (k, j), s).
-        Valid only for a regular single-degree-block slot-major layout with
-        no padding; VALIDATED against perm_v2c (returns None when the
-        layout does not admit the decomposition — callers fall back to the
-        gather path)."""
-        if not self.slot_major:
-            return None
-        if len(self.vn_blocks) != 1 or len(self.cn_blocks) != 1:
-            return None
-        vb, cb = self.vn_blocks[0], self.cn_blocks[0]
-        Z, mb, nb = qc.Z, qc.mb, qc.nb
-        if vb.num_nodes != nb * Z or cb.num_nodes != mb * Z:
-            return None
-        circ = qc.circulants()
-        col_rows = {j: sorted((ci, cs) for ci, cj, cs in circ if cj == j)
-                    for j in range(nb)}
-        row_cols = {i: sorted(cj for ci, cj, _ in circ if ci == i)
-                    for i in range(mb)}
-        plan = []
-        for j in range(nb):
-            for k, (i, s) in enumerate(col_rows[j]):
-                l = row_cols[i].index(j)
-                plan.append((k, j, l, i, s))
-        # exact validation on REAL rows: reconstruct perm_v2c from the plan
-        # (plane strides are the padded node counts; pad rows are never read)
-        nvp, ncp = vb.n_pad, cb.n_pad
-        perm = np.full(self.num_edges_cn, -1, dtype=np.int64)
-        zp = np.arange(Z)
-        for k, j, l, i, s in plan:
-            perm[l * ncp + i * Z + zp] = k * nvp + j * Z + (zp - s) % Z
-        real = perm >= 0
-        if not np.array_equal(perm[real], self.perm_v2c.astype(np.int64)[real]):
-            return None
-        return plan
 
 
 def _mixed_radix_digits(n: int, radices: list[int]) -> np.ndarray:

@@ -1,44 +1,56 @@
-"""Fused Pallas TPU kernels for quasi-cyclic LUT decoding.
+"""Fused Pallas TPU kernels for quasi-cyclic LUT decoding — regular AND
+irregular codes.
 
 For a QC graph the v2c/c2v message permutations decompose into
-per-circulant cyclic shifts with compile-time shift constants
-(fast_layout.GroupedLayout.qc_roll_plan).  These kernels fuse the shifts
-into the CN / VN passes as static-size HBM->VMEM DMAs (a wrapped roll is
-at most two contiguous copies), so one decode iteration touches HBM
-exactly four times (CN read+write, VN read+write) instead of paying a
-separate DMA-issue-bound row gather (~150 GB/s) per direction:
+per-circulant cyclic shifts with compile-time constants
+(fast_layout.GroupedLayout.qc_plan).  These kernels fuse the shifts into
+the CN / VN passes as static-size HBM->VMEM DMAs (a wrapped roll is at
+most two contiguous copies), so one decode iteration touches HBM exactly
+four times (CN read+write, VN read+write) instead of paying a separate
+DMA-issue-bound row gather per direction — and, just as important on this
+environment's tunneled TPU, one iteration is exactly TWO kernel launches
+(the tunnel penalizes op count brutally; see BASELINE.md).
 
-- ``cn_qc_pass``: reads the (dv, nvar_pad, B) VN-grouped message planes
-  with the v2c rolls applied during the DMA, computes the min-LUT CN
-  update (two-min + sign parity, value-identical to chk_update_minsum,
-  /root/reference/src/LDPC_Code_LUT.cpp:355-402) per check block, writes
-  the (dc, nchk_pad, B) CN-grouped planes, and emits per-tile syndrome
-  indicators of the INPUT signs (the early-exit syndrome check,
-  LDPC_Code_LUT.cpp:327).
-- ``vn_qc_pass``: reads the CN-grouped planes with the c2v rolls applied,
-  evaluates the per-iteration leave-one-out VN threshold trees (the
-  arithmetic value-domain form validated by decoder/arith.py), writes the
-  next VN-grouped planes plus hard-decision bits and per-tile sign
-  unanimity.
+Message state lives in the FLAT slot-major padded edge arrays of
+fast_layout.GroupedLayout — the same (E, B) layout the XLA path uses —
+extended by NT scratch rows at the tail where slots of
+lower-than-maximum-degree blocks park their unused output DMAs:
+
+- ``cn_qc_pass``: reads each check block's dc input windows from the
+  VN-grouped array with the v2c rolls applied during the DMA, computes
+  the min-LUT CN update (two-min + sign parity, value-identical to
+  chk_update_minsum, /root/reference/src/LDPC_Code_LUT.cpp:355-402),
+  writes the CN-grouped rows, and emits per-tile syndrome indicators of
+  the INPUT signs (the early-exit syndrome check, LDPC_Code_LUT.cpp:327).
+  Check blocks of lower degree than the maximum pad their remaining
+  slots with +INF in VMEM — sign-positive and never the min, so the
+  two-min/parity compute is uniform across degree classes.
+- ``vn_qc_pass``: reads each variable block's dv windows from the
+  CN-grouped array with the c2v rolls applied, evaluates that block's
+  degree class's per-iteration leave-one-out VN threshold trees (the
+  arithmetic value-domain form validated by decoder/arith.py), writes
+  the next VN-grouped rows plus hard-decision bits and per-tile sign
+  unanimity.  Compute is unrolled once per degree class; DMA issue once
+  per (block, z-subtile) as in the CN pass.
 
 Tiling: the grid runs over (block, z-subtile) with the LANE dimension
 kept whole, so every DMA moves fully contiguous (rows x B) chunks at HBM
-stream bandwidth; z-subtile boundaries are unrolled into pl.when branches
-because the wrap split of each roll is a compile-time constant per
-(block, subtile, slot).  Shifts are ARBITRARY: each roll DMA reads an
+stream bandwidth; (block, subtile) pairs are unrolled into pl.when
+branches because the wrap split of each roll is a compile-time constant
+per (block, subtile, slot).  Output drains ride dynamic offsets from an
+SMEM base table (the descriptors of a step issued two steps ago belong
+to a different branch).  Shifts are ARBITRARY: each roll DMA reads an
 8-row-enlarged window at the sublane-tile-aligned offset below the
 requested one, and a static sublane-offset VMEM slice (r = lo mod 8,
-constant across subtiles because NT % 8 == 0) realigns it.  Aligning the
-shifts themselves (s % 8 == 0 with 8 | Z) is NOT an option: z mod 8 would
-be invariant along every edge and the code would decompose into 8
-disconnected length-N/8 subcodes.
+constant across subtiles because NT % 8 == 0) realigns it.
 
-Exactness: values are int16 (|v| <= 32600); compute is float32, where
-integer arithmetic below 2^24 is exact, emission uses the validated
-select-chain form (bit-identical to the int delta form), and the CN
-min1/min2 first-argmin formulation equals the prefix/suffix form
-value-for-value.  ArithLUTDecoder asserts bit-identicality against the
-scalar golden model in the decoder-equivalence suites.
+Exactness: values are int16 (|v| <= 32600) or float32; compute is
+float32 (exact on the int16 grid: integer arithmetic below 2^24),
+emission uses the validated select-chain form (bit-identical to the int
+delta form), and the CN min1/min2 first-argmin formulation equals the
+prefix/suffix form value-for-value.  ArithLUTDecoder asserts
+bit-identicality against the scalar golden model in the
+decoder-equivalence suites.
 """
 
 from __future__ import annotations
@@ -52,9 +64,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cn_qc_pass", "vn_qc_pass", "qc_kernels_supported"]
+__all__ = ["cn_qc_pass", "vn_qc_pass", "qc_kernels_supported", "pick_nt"]
 
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode: runs the kernels on CPU for tests
+    (LUT_LDPC_PALLAS_INTERPRET=1) — same dataflow, no Mosaic."""
+    import os
+
+    return bool(os.environ.get("LUT_LDPC_PALLAS_INTERPRET"))
 
 
 def qc_kernels_supported() -> bool:
@@ -62,17 +82,21 @@ def qc_kernels_supported() -> bool:
 
     if os.environ.get("LUT_LDPC_NO_PALLAS"):
         return False
+    if _interpret():
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
 
 
-def _pick_nt(Z: int, B: int, nslots: int, budget: int = 40 << 20) -> int:
+def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
+            budget: int = 80 << 20) -> int:
     """Largest z-subtile NT (multiple of 8, dividing Z) whose scratch +
-    f32 temps fit the VMEM budget: double-buffered int16 in/out windows
-    (2*2*2*nslots bytes/row) + realign copy + f32 temps."""
-    per_row = (10 * nslots + 40) * B
+    f32 temps fit the VMEM budget: double-buffered in/out windows +
+    realign copy + channel (5*nslots + 4 rows of `itemsize`) + f32 temps
+    (~nslots + 6 rows)."""
+    per_row = ((5 * nslots + 4) * itemsize + (nslots + 6) * 4) * B
     nt = max(8, min(Z, budget // per_row // 8 * 8))
     while Z % nt:
         nt -= 8
@@ -100,83 +124,94 @@ def _window_pieces(s: int, Z: int, z0: int, NT: int):
 _SEMS_PER_SLOT = 2  # _window_pieces emits at most 2 wrap pieces (W <= Z+8)
 
 
-# ---------------------------------------------------------------------------
-# CN pass
-# ---------------------------------------------------------------------------
-
-
-def _in_dmas(m_ref, scr_in, sem_in, plan_row, Z, z0, NT, buf, dc,
-             invert=False):
-    """Window-read DMA descriptors for one (block row, z-subtile) step
-    into double buffer `buf`; pieces/sizes are compile-time constants."""
+def _in_dmas(m_ref, scr_in, sem_in, srcs, Z, z0, NT, buf, invert=False):
+    """Window-read DMA descriptors for one (block, z-subtile) step into
+    double buffer `buf`; srcs = ((flat_base, shift), ...) per slot;
+    pieces/sizes are compile-time constants."""
     dmas = []
-    si = 0
-    for l in range(dc):
-        k, j, s = plan_row[l]
+    for l, (base, s) in enumerate(srcs):
         if invert:
             s = (Z - s) % Z
         for pi, (so, do, n) in enumerate(_window_pieces(s, Z, z0, NT)):
             dmas.append(pltpu.make_async_copy(
-                m_ref.at[k, pl.ds(j * Z + so, n)],
+                m_ref.at[pl.ds(base + so, n)],
                 scr_in.at[buf, l, pl.ds(do, n)],
-                sem_in.at[buf, si + pi],
+                sem_in.at[buf, _SEMS_PER_SLOT * l + pi],
             ))
-        si += _SEMS_PER_SLOT
     return dmas
 
 
-def _out_dmas(o_ref, scr_out, sem_out, Z, NT, nslots, row, zt, buf):
-    """Output DMA descriptors for step (row, zt) from double buffer `buf`;
-    row/zt/buf may be traced scalars (dynamic ref indices)."""
+def _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, nslots, row, zt, buf):
+    """Output DMA descriptors for step (row, zt) from double buffer `buf`.
+    row/zt/buf may be traced scalars: destinations come from the SMEM
+    base table (8 * dst_tbl[row, l] + zt*NT — stored in units of 8 rows so
+    Mosaic can prove sublane-tile alignment), so drains of steps issued
+    from other branches reconstruct the same descriptors."""
     return [
         pltpu.make_async_copy(
             scr_out.at[buf, l],
-            o_ref.at[l, pl.ds(row * Z + zt * NT, NT)],
+            o_ref.at[pl.ds(dst_tbl[row, l] * 8 + zt * NT, NT)],
             sem_out.at[buf, l],
         )
         for l in range(nslots)
     ]
 
 
-def _cn_qc_kernel(m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out, sem_in,
-                  sem_out, *, li_plan, Z, NT, dc, out_dtype):
+# ---------------------------------------------------------------------------
+# CN pass
+# ---------------------------------------------------------------------------
+
+
+def _cn_qc_kernel(dst_tbl, m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out,
+                  sem_in, sem_out, *, rows, Z, NT, max_dc, out_dtype):
+    """rows: per grid block (class_idx, ((vn_base, shift), ...), dc)."""
     i = pl.program_id(0)
     zt = pl.program_id(1)
     nzt = Z // NT
-    mb = len(li_plan)
-    nsteps = mb * nzt
+    nrows = len(rows)
+    nsteps = nrows * nzt
     st = i * nzt + zt
     buf = st % 2
 
     # --- double-buffered input windows: issue step st+1's DMAs before
     # waiting on step st's (issued at step st-1), so the next subtile's
     # HBM reads overlap this subtile's compute + writeback
-    for ci in range(mb):
+    for ci in range(nrows):
         for czt in range(nzt):
             cst = ci * nzt + czt
             @pl.when((i == ci) & (zt == czt))
             def _(ci=ci, czt=czt, cst=cst):
                 if cst == 0:
-                    for d in _in_dmas(m_ref, scr_in, sem_in, li_plan[ci],
-                                      Z, czt * NT, NT, 0, dc):
+                    for d in _in_dmas(m_ref, scr_in, sem_in, rows[ci][1],
+                                      Z, czt * NT, NT, 0):
                         d.start()
                 if cst + 1 < nsteps:
                     nci, nczt = divmod(cst + 1, nzt)
-                    for d in _in_dmas(m_ref, scr_in, sem_in, li_plan[nci],
-                                      Z, nczt * NT, NT, (cst + 1) % 2, dc):
+                    for d in _in_dmas(m_ref, scr_in, sem_in, rows[nci][1],
+                                      Z, nczt * NT, NT, (cst + 1) % 2):
                         d.start()
-                for d in _in_dmas(m_ref, scr_in, sem_in, li_plan[ci],
-                                  Z, czt * NT, NT, cst % 2, dc):
+                for d in _in_dmas(m_ref, scr_in, sem_in, rows[ci][1],
+                                  Z, czt * NT, NT, cst % 2):
                     d.wait()
 
     # realign: window row r = lo mod 8 is the first wanted row; r depends
-    # only on the slot's shift (NT % 8 == 0), so one branch per block row
-    for ci in range(mb):
+    # only on the slot's shift (NT % 8 == 0), so one branch per block.
+    # Slots beyond a block's degree hold +INF: sign-positive and never
+    # min1/min2, so the two-min + parity below is class-uniform.
+    B = scr_al.shape[-1]
+    INF_S = jnp.asarray(
+        np.iinfo(np.int16).max if scr_al.dtype == jnp.int16 else np.inf,
+        scr_al.dtype,
+    )
+    for ci in range(nrows):
         @pl.when(i == ci)
         def _(ci=ci):
-            for l in range(dc):
-                r = (-li_plan[ci][l][2]) % 8
+            srcs = rows[ci][1]
+            for l in range(len(srcs)):
+                r = (-srcs[l][1]) % 8
                 scr_al[l] = scr_in[buf, l, pl.ds(r, NT)]
+            for l in range(len(srcs), max_dc):
+                scr_al[l] = jnp.full((NT, B), INF_S, scr_al.dtype)
 
     # before overwriting scr_out[buf], drain the output DMAs issued from
     # it two steps ago
@@ -184,27 +219,24 @@ def _cn_qc_kernel(m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out, sem_in,
         @pl.when(st >= 2)
         def _():
             pst = st - 2
-            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc,
-                               pst // nzt, pst % nzt, buf):
+            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                               max_dc, pst // nzt, pst % nzt, buf):
                 d.wait()
 
     # two-min + parity over slots (f32 compute, exact on int16 values;
-    # native packed-int16 compares are unsupported by Mosaic on v5e —
-    # "Target does not support this comparison" — so 16-bit values only
-    # save HBM/VMEM traffic, not VPU ops)
-    B = scr_al.shape[-1]
+    # +INF pad slots are identity for both)
     cdt = jnp.float32
     INF = jnp.asarray(np.inf, cdt)
     x0 = scr_al[0].astype(cdt)
     neg_par = x0 < 0
     min1, min2 = jnp.abs(x0), jnp.full((NT, B), INF, cdt)
-    for l in range(1, dc):
+    for l in range(1, max_dc):
         xl = scr_al[l].astype(cdt)
         neg_par = neg_par ^ (xl < 0)
         mag = jnp.abs(xl)
         min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
         min1 = jnp.minimum(min1, mag)
-    for l in range(dc):
+    for l in range(max_dc):
         xl = scr_al[l].astype(cdt)
         # where |x_l| == min1: the min over the OTHERS is min2 — for a
         # unique minimum by definition, for duplicated minima min2 == min1
@@ -222,62 +254,78 @@ def _cn_qc_kernel(m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out, sem_in,
 
     # issue this step's writeback; it drains two steps later (or in the
     # final-step epilogue below)
-    for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc, i, zt, buf):
+    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dc, i, zt,
+                       buf):
         d.start()
 
     @pl.when(st == nsteps - 1)
     def _():
-        for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc, i, zt, buf):
+        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dc, i,
+                           zt, buf):
             d.wait()
         if nsteps > 1:
             pst = st - 1
-            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dc,
-                               pst // nzt, pst % nzt, 1 - buf):
+            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                               max_dc, pst // nzt, pst % nzt, 1 - buf):
                 d.wait()
 
 
-def cn_qc_pass(m3, plan, Z, mb, ncp):
-    """m3 (dv, nvar_pad, B) int16 -> (m_cn (dc, ncp, B), synd_ok (B,) bool).
+def cn_qc_pass(m_flat, plan, E_cn):
+    """m_flat (E_vn [+NT], B) int16/f32 VN-grouped -> (m_cn (E_cn + NT, B),
+    synd_ok (B,) bool).
 
-    plan: qc_roll_plan entries (k, j, l, i, s); shifts are arbitrary
-    (aligned-window DMA + static realign slice).  Pad rows of the output
-    planes are left undefined (masked by all consumers)."""
-    dv, nvp, B = m3.shape
-    dc = max(e[2] for e in plan) + 1
-    NT = _pick_nt(Z, B, dc)
-    li_plan = [[None] * dc for _ in range(mb)]
-    for k, j, l, i, s in plan:
-        li_plan[i][l] = (k, j, s)
-    li_plan = tuple(tuple(row) for row in li_plan)
+    plan: fast_layout.QCPlan.  The output carries Z scratch rows at the
+    tail where lower-degree blocks park their unused output DMA slots
+    (a dummy slot of subtile zt writes at E_cn + zt*NT + NT <= E_cn + Z);
+    consumers must index real rows only (they do: all reductions mask by
+    block ranges)."""
+    B = m_flat.shape[1]
+    Z = plan.Z
+    max_dc = max(plan.cn_degrees)
+    NT = pick_nt(Z, B, max_dc, np.dtype(m_flat.dtype).itemsize)
+    rows = tuple(
+        (ci, src, len(src)) for ci, src, dst in plan.cn_rows
+    )
+    dst_tbl = np.full((len(plan.cn_rows), max_dc), E_cn, dtype=np.int64)
+    for r, (ci, src, dst) in enumerate(plan.cn_rows):
+        dst_tbl[r, : len(dst)] = dst
+    if np.any(dst_tbl % 8):
+        raise ValueError("cn_qc_pass: destinations must be 8-row aligned")
+    dst_tbl = (dst_tbl // 8).astype(np.int32)
     nzt = Z // NT
-    grid = (mb, nzt)
+    grid = (len(rows), nzt)
     kern = functools.partial(
-        _cn_qc_kernel, li_plan=li_plan, Z=Z, NT=NT, dc=dc, out_dtype=m3.dtype
+        _cn_qc_kernel, rows=rows, Z=Z, NT=NT, max_dc=max_dc,
+        out_dtype=m_flat.dtype,
     )
     out, synd = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((dc, ncp, B), m3.dtype),
-            jax.ShapeDtypeStruct((mb * nzt * 8, B), jnp.int8),
+            jax.ShapeDtypeStruct((E_cn + Z, B), m_flat.dtype),
+            jax.ShapeDtypeStruct((len(rows) * nzt * 8, B), jnp.int8),
         ],
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((8, B), lambda i, zt: (i * nzt + zt, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, dc, NT + 8, B), m3.dtype),
-            pltpu.VMEM((dc, NT, B), m3.dtype),
-            pltpu.VMEM((2, dc, NT, B), m3.dtype),
-            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * dc)),
-            pltpu.SemaphoreType.DMA((2, dc)),
+            pltpu.VMEM((2, max_dc, NT + 8, B), m_flat.dtype),
+            pltpu.VMEM((max_dc, NT, B), m_flat.dtype),
+            pltpu.VMEM((2, max_dc, NT, B), m_flat.dtype),
+            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * max_dc)),
+            pltpu.SemaphoreType.DMA((2, max_dc)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(m3)
+        interpret=_interpret(),
+    )(jnp.asarray(dst_tbl), m_flat)
     synd_ok = jnp.min(synd.reshape(-1, 8, B)[:, 0], axis=0) != 0
     return out, synd_ok
 
@@ -287,81 +335,11 @@ def cn_qc_pass(m3, plan, Z, mb, ncp):
 # ---------------------------------------------------------------------------
 
 
-def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype,
-                  int_compute):
-    # refs: m_ref, cha_ref, <4 SMEM per op>, o_ref, bits_ref, unan_ref,
-    #       scr_in, scr_al, scr_cha, scr_out, sem_in, sem_cha, sem_out
-    nops = len(ops)
-    m_ref, cha_ref = refs[0], refs[1]
-    prm = [refs[2 + 4 * oi: 2 + 4 * oi + 4] for oi in range(nops)]
-    o_ref, bits_ref, unan_ref = refs[2 + 4 * nops: 5 + 4 * nops]
-    (scr_in, scr_al, scr_cha, scr_out,
-     sem_in, sem_cha, sem_out) = refs[5 + 4 * nops:]
-
-    j = pl.program_id(0)
-    zt = pl.program_id(1)
-    nzt = Z // NT
-    nb = len(kj_plan)
-    nsteps = nb * nzt
-    st = j * nzt + zt
-    buf = st % 2
-
-    # channel tile: double-buffered with fully dynamic offsets (contiguous
-    # single-piece reads need no static pieces)
-    def cha_dma(step, b):
-        return pltpu.make_async_copy(
-            cha_ref.at[pl.ds((step // nzt) * Z + (step % nzt) * NT, NT)],
-            scr_cha.at[b], sem_cha.at[b],
-        )
-
-    @pl.when(st == 0)
-    def _():
-        cha_dma(st, buf).start()
-    if nsteps > 1:
-        @pl.when(st < nsteps - 1)
-        def _():
-            cha_dma(st + 1, 1 - buf).start()
-
-    # double-buffered input windows (see _cn_qc_kernel)
-    for cj in range(nb):
-        for czt in range(nzt):
-            cst = cj * nzt + czt
-            @pl.when((j == cj) & (zt == czt))
-            def _(cj=cj, czt=czt, cst=cst):
-                if cst == 0:
-                    for d in _in_dmas(m_ref, scr_in, sem_in, kj_plan[cj],
-                                      Z, czt * NT, NT, 0, dv, invert=True):
-                        d.start()
-                if cst + 1 < nsteps:
-                    ncj, nczt = divmod(cst + 1, nzt)
-                    for d in _in_dmas(m_ref, scr_in, sem_in, kj_plan[ncj],
-                                      Z, nczt * NT, NT, (cst + 1) % 2, dv,
-                                      invert=True):
-                        d.start()
-                for d in _in_dmas(m_ref, scr_in, sem_in, kj_plan[cj],
-                                  Z, czt * NT, NT, cst % 2, dv, invert=True):
-                    d.wait()
-    for cj in range(nb):
-        @pl.when(j == cj)
-        def _(cj=cj):
-            for k in range(dv):
-                r = kj_plan[cj][k][2] % 8  # (-inv) % 8 == s % 8
-                scr_al[k] = scr_in[buf, k, pl.ds(r, NT)]
-    cha_dma(st, buf).wait()
-
-    if nsteps > 2:
-        @pl.when(st >= 2)
-        def _():
-            pst = st - 2
-            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv,
-                               pst // nzt, pst % nzt, buf):
-                d.wait()
-
-    B = scr_cha.shape[-1]
-    # f32 compute (exact on the int16 values below 2^24); int_compute is
-    # plumbing for TPU generations with packed-int16 VPU compares (v5e's
-    # Mosaic rejects vector i16 cmp, so it is forced off in vn_qc_pass)
-    cdt = jnp.int16 if int_compute else jnp.float32
+def _vn_class_compute(scr_al, scr_cha, scr_out, buf, dv, ops, prm, use_tot,
+                      out_dtype, NT, B):
+    """LOO threshold-tree update for one degree class; returns
+    (neg0 (NT, B) bool, agree (NT, B) bool)."""
+    cdt = jnp.float32
     zero = jnp.zeros((), cdt)
     cha = scr_cha[buf].astype(cdt)
     msg = [scr_al[k].astype(cdt) for k in range(dv)]
@@ -413,114 +391,266 @@ def _vn_qc_kernel(*refs, kj_plan, Z, NT, dv, ops, use_tot, out_dtype,
         else:
             a = ni == neg0
             agree = a if agree is None else (agree & a)
-    bits_ref[...] = neg0.astype(jnp.int8)
-    if agree is None:
+    if agree is None:  # degree-1 class: single edge, trivially unanimous
         agree = jnp.ones((NT, B), bool)
-    unan_ref[...] = jnp.broadcast_to(
-        jnp.min(agree.astype(jnp.int32), axis=0, keepdims=True), (8, B)
-    ).astype(jnp.int8)
+    return neg0, agree
 
-    for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv, j, zt, buf):
+
+def _vn_qc_kernel(*refs, cols, class_of, Z, NT, max_dv, ops_by_class,
+                  use_tot_by_class, nops_by_class, out_dtype):
+    """cols: per grid block (class_idx, node_base, ((cn_base, shift), ...));
+    class params arrive as 4 SMEM refs per (class, op), concatenated in
+    class order."""
+    nclasses = len(ops_by_class)
+    nprm = sum(nops_by_class)
+    (dst_tbl, node_tbl, m_ref, cha_ref) = refs[:4]
+    prm_flat = refs[4 : 4 + 4 * nprm]
+    o_ref, bits_ref, unan_ref = refs[4 + 4 * nprm : 7 + 4 * nprm]
+    (scr_in, scr_al, scr_cha, scr_bits, scr_out,
+     sem_in, sem_cha, sem_bits, sem_out) = refs[7 + 4 * nprm:]
+    prm_by_class = []
+    off = 0
+    for c in range(nclasses):
+        prm_by_class.append([
+            prm_flat[4 * (off + oi) : 4 * (off + oi) + 4]
+            for oi in range(nops_by_class[c])
+        ])
+        off += nops_by_class[c]
+
+    j = pl.program_id(0)
+    zt = pl.program_id(1)
+    nzt = Z // NT
+    ncols = len(cols)
+    nsteps = ncols * nzt
+    st = j * nzt + zt
+    buf = st % 2
+
+    # channel tile: double-buffered with fully dynamic offsets from the
+    # SMEM node-base table (contiguous single-piece reads)
+    def cha_dma(step, b):
+        return pltpu.make_async_copy(
+            cha_ref.at[pl.ds(node_tbl[step // nzt] * 8 + (step % nzt) * NT, NT)],
+            scr_cha.at[b], sem_cha.at[b],
+        )
+
+    @pl.when(st == 0)
+    def _():
+        cha_dma(st, buf).start()
+    if nsteps > 1:
+        @pl.when(st < nsteps - 1)
+        def _():
+            cha_dma(st + 1, 1 - buf).start()
+
+    # double-buffered input windows (see _cn_qc_kernel)
+    for cj in range(ncols):
+        for czt in range(nzt):
+            cst = cj * nzt + czt
+            @pl.when((j == cj) & (zt == czt))
+            def _(cj=cj, czt=czt, cst=cst):
+                if cst == 0:
+                    for d in _in_dmas(m_ref, scr_in, sem_in, cols[cj][2],
+                                      Z, czt * NT, NT, 0, invert=True):
+                        d.start()
+                if cst + 1 < nsteps:
+                    ncj, nczt = divmod(cst + 1, nzt)
+                    for d in _in_dmas(m_ref, scr_in, sem_in, cols[ncj][2],
+                                      Z, nczt * NT, NT, (cst + 1) % 2,
+                                      invert=True):
+                        d.start()
+                for d in _in_dmas(m_ref, scr_in, sem_in, cols[cj][2],
+                                  Z, czt * NT, NT, cst % 2, invert=True):
+                    d.wait()
+    for cj in range(ncols):
+        @pl.when(j == cj)
+        def _(cj=cj):
+            srcs = cols[cj][2]
+            for k in range(len(srcs)):
+                r = srcs[k][1] % 8  # (-inv) % 8 == s % 8
+                scr_al[k] = scr_in[buf, k, pl.ds(r, NT)]
+    cha_dma(st, buf).wait()
+
+    if nsteps > 2:
+        @pl.when(st >= 2)
+        def _():
+            pst = st - 2
+            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                               max_dv, pst // nzt, pst % nzt, buf):
+                d.wait()
+            pltpu.make_async_copy(
+                scr_bits.at[buf],
+                bits_ref.at[pl.ds(node_tbl[pst // nzt] * 8 + (pst % nzt) * NT,
+                                  NT)],
+                sem_bits.at[buf],
+            ).wait()
+
+    B = scr_cha.shape[-1]
+    # compute is unrolled once per degree CLASS (not per block): blocks of
+    # a class share tree structure and per-iteration parameters
+    class_lo = []
+    lo = 0
+    for c in range(nclasses):
+        n_c = sum(1 for cid in class_of if cid == c)
+        class_lo.append((lo, lo + n_c))
+        lo += n_c
+    for c in range(nclasses):
+        lo_c, hi_c = class_lo[c]
+        if lo_c == hi_c:
+            continue
+        @pl.when((j >= lo_c) & (j < hi_c))
+        def _(c=c, lo_c=lo_c, hi_c=hi_c):
+            # degree of this class = slot count of any of its blocks
+            dvc = next(len(cols[b][2]) for b in range(lo_c, hi_c))
+            neg0, agree = _vn_class_compute(
+                scr_al, scr_cha, scr_out, buf, dvc, ops_by_class[c],
+                prm_by_class[c], use_tot_by_class[c], out_dtype, NT, B,
+            )
+            scr_bits[buf] = neg0.astype(jnp.int8)
+            unan_ref[...] = jnp.broadcast_to(
+                jnp.min(agree.astype(jnp.int32), axis=0, keepdims=True),
+                (8, B),
+            ).astype(jnp.int8)
+            # slots dvc..max_dv DMA stale scratch to the tail scratch rows
+
+    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dv, j, zt,
+                       buf):
         d.start()
+    pltpu.make_async_copy(
+        scr_bits.at[buf],
+        bits_ref.at[pl.ds(node_tbl[j] * 8 + zt * NT, NT)],
+        sem_bits.at[buf],
+    ).start()
 
     @pl.when(st == nsteps - 1)
     def _():
-        for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv, j, zt, buf):
+        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dv, j,
+                           zt, buf):
             d.wait()
+        pltpu.make_async_copy(
+            scr_bits.at[buf],
+            bits_ref.at[pl.ds(node_tbl[j] * 8 + zt * NT, NT)],
+            sem_bits.at[buf],
+        ).wait()
         if nsteps > 1:
             pst = st - 1
-            for d in _out_dmas(o_ref, scr_out, sem_out, Z, NT, dv,
-                               pst // nzt, pst % nzt, 1 - buf):
+            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                               max_dv, pst // nzt, pst % nzt, 1 - buf):
                 d.wait()
+            pltpu.make_async_copy(
+                scr_bits.at[1 - buf],
+                bits_ref.at[pl.ds(node_tbl[pst // nzt] * 8 + (pst % nzt) * NT,
+                                  NT)],
+                sem_bits.at[1 - buf],
+            ).wait()
 
 
-def vn_qc_pass(m_cn, cha, plan, Z, nb, nvp, struct, prm, use_tot,
-               flags=None):
-    """m_cn (dc, nchk_pad, B), cha (nvar_pad, B) int16 values ->
-    (m_vn (dv, nvp, B), bits (nb*Z, B) uint8, unan (B,) bool).
+def vn_qc_pass(m_cn, cha, plan, nvar_pad, E_vn, structs, prm_by_class,
+               use_tot_by_class, flags_by_class, out_rows=None):
+    """m_cn (E_cn [+NT], B), cha (nvar_pad, B) values ->
+    (m_vn (out_rows, B), bits (nvar_pad, B) uint8, unan (B,) bool).
+    out_rows defaults to E_vn + Z (the DMA tail must hold a dummy slot
+    write at any subtile: E_vn + zt*NT + NT <= E_vn + Z); it is explicit
+    so callers that carry m_vn across batch widths (the survivor
+    funnel) fix the carry shape.
 
-    prm: per-op dict with thr (nthr,), levels (nthr+1,), tie_lo, tie_hi
-    for ONE iteration (sliced by the caller / scanned as xs); for
-    symmetric ops the caller passes the magnitude thresholds/levels in the
-    same slots.  flags: per-op static dicts (sym, has_tie) from
-    ArithLUTDecoder._op_flags; None means full chains with ties."""
-    dc, ncp, B = m_cn.shape
-    dv = max(e[0] for e in plan) + 1
-    NT = _pick_nt(Z, B, dv + 1)
-    kj_plan = [[None] * dv for _ in range(nb)]
-    for k, j, l, i, s in plan:
-        kj_plan[j][k] = (l, i, s)
-    kj_plan = tuple(tuple(row) for row in kj_plan)
-    if flags is None:
-        flags = [dict(sym=False, has_tie=True) for _ in struct.ops]
-    ops_static = tuple(
-        (tuple(int(x) for x in op.operands), int(prm[oi]["thr"].shape[-1]),
-         bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]))
-        for oi, op in enumerate(struct.ops)
-    )
-    # native int16 compute is exact when every op's accumulation stays in
-    # range: 2-operand ops (partial = one table value <= 32600, final
-    # validated at build) and the total-minus-self shortcut for <= 4 leaf
-    # operands (leaf tables <= 32000/4 by the int16 scale in arith.py)
-    is_int = m_cn.dtype == jnp.int16
-    ops_ok = all(
-        len(opnds) <= 2 or (oi == 0 and use_tot)
-        for oi, (opnds, *_rest) in enumerate(ops_static)
-    )
-    # v5e Mosaic lacks packed i16 vector compares; force the f32 path
-    int_compute = False and bool(
-        is_int and ops_ok and (not use_tot or dv <= 4)
-    )
+    structs / prm_by_class / use_tot_by_class / flags_by_class: per VN
+    degree class (layout block order): the ArithTreeSpec structure, the
+    per-op {thr, levels, tie_lo, tie_hi} dict for ONE iteration (sliced by
+    the caller / scanned as xs; symmetric ops pass magnitude
+    thresholds/levels in the same slots), the total-minus-self flag, and
+    the per-op static dicts (sym, has_tie).  Rows of `bits` not covered
+    by a variable block (inter-block padding) are uninitialized; every
+    consumer reads real rows only."""
+    B = m_cn.shape[1]
+    Z = plan.Z
+    max_dv = max(plan.vn_degrees)
+    itemsize = np.dtype(m_cn.dtype).itemsize
+    NT = pick_nt(Z, B, max_dv + 1, itemsize)
+    cols = tuple((ci, nb, src) for ci, nb, src, dst in plan.vn_cols)
+    class_of = tuple(ci for ci, _, _, _ in plan.vn_cols)
+    dst_tbl = np.full((len(cols), max_dv), E_vn, dtype=np.int64)
+    node_tbl = np.zeros((len(cols),), dtype=np.int64)
+    for r, (ci, nb, src, dst) in enumerate(plan.vn_cols):
+        dst_tbl[r, : len(dst)] = dst
+        node_tbl[r] = nb
+    if np.any(dst_tbl % 8) or np.any(node_tbl % 8):
+        raise ValueError("vn_qc_pass: destinations must be 8-row aligned")
+    dst_tbl = (dst_tbl // 8).astype(np.int32)
+    node_tbl = (node_tbl // 8).astype(np.int32)
     nzt = Z // NT
-    grid = (nb, nzt)
-    kern = functools.partial(
-        _vn_qc_kernel, kj_plan=kj_plan, Z=Z, NT=NT, dv=dv, ops=ops_static,
-        use_tot=bool(use_tot), out_dtype=m_cn.dtype,
-        int_compute=int_compute,
-    )
-    prm_dtype = jnp.int32 if is_int else jnp.float32
-    param_args = []
+    grid = (len(cols), nzt)
+
+    ops_by_class = []
+    nops_by_class = []
+    prm_args = []
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
-    for oi in range(len(struct.ops)):
-        p = prm[oi]
-        for key in ("thr", "levels", "tie_lo", "tie_hi"):
-            a = jnp.asarray(p[key], prm_dtype).reshape(1, -1)
-            param_args.append(a)
-            in_specs.append(
-                pl.BlockSpec(a.shape, lambda j, zt: (0, 0),
-                             memory_space=pltpu.SMEM)
-            )
+    prm_dtype = (jnp.int32 if m_cn.dtype == jnp.int16 else jnp.float32)
+    for c, struct in enumerate(structs):
+        flags = flags_by_class[c]
+        ops_static = tuple(
+            (tuple(int(x) for x in op.operands),
+             int(prm_by_class[c][oi]["thr"].shape[-1]),
+             bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]))
+            for oi, op in enumerate(struct.ops)
+        )
+        ops_by_class.append(ops_static)
+        nops_by_class.append(len(struct.ops))
+        for oi in range(len(struct.ops)):
+            p = prm_by_class[c][oi]
+            for key in ("thr", "levels", "tie_lo", "tie_hi"):
+                a = jnp.asarray(p[key], prm_dtype).reshape(1, -1)
+                prm_args.append(a)
+                in_specs.append(
+                    pl.BlockSpec(a.shape, lambda j, zt: (0, 0),
+                                 memory_space=pltpu.SMEM)
+                )
+
+    if out_rows is None:
+        out_rows = E_vn + Z
+    if out_rows < E_vn + Z:
+        raise ValueError("vn_qc_pass: out_rows must cover the DMA tail")
+    kern = functools.partial(
+        _vn_qc_kernel, cols=cols, class_of=class_of, Z=Z, NT=NT,
+        max_dv=max_dv, ops_by_class=tuple(ops_by_class),
+        use_tot_by_class=tuple(bool(x) for x in use_tot_by_class),
+        nops_by_class=tuple(nops_by_class), out_dtype=m_cn.dtype,
+    )
     out, bits, unan = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((dv, nvp, B), m_cn.dtype),
-            jax.ShapeDtypeStruct((nb * Z, B), jnp.int8),
-            jax.ShapeDtypeStruct((nb * nzt * 8, B), jnp.int8),
+            jax.ShapeDtypeStruct((out_rows, B), m_cn.dtype),
+            jax.ShapeDtypeStruct((nvar_pad, B), jnp.int8),
+            jax.ShapeDtypeStruct((len(cols) * nzt * 8, B), jnp.int8),
         ],
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((NT, B), lambda j, zt: (j * nzt + zt, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((8, B), lambda j, zt: (j * nzt + zt, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, dv, NT + 8, B), m_cn.dtype),
-            pltpu.VMEM((dv, NT, B), m_cn.dtype),
+            pltpu.VMEM((2, max_dv, NT + 8, B), m_cn.dtype),
+            pltpu.VMEM((max_dv, NT, B), m_cn.dtype),
             pltpu.VMEM((2, NT, B), m_cn.dtype),
-            pltpu.VMEM((2, dv, NT, B), m_cn.dtype),
-            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * dv)),
+            pltpu.VMEM((2, NT, B), jnp.int8),
+            pltpu.VMEM((2, max_dv, NT, B), m_cn.dtype),
+            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * max_dv)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, dv)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, max_dv)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(m_cn, cha, *param_args)
-    bits = bits.astype(jnp.uint8)
-    return out, bits, unan.reshape(-1, 8, B)[:, 0].min(axis=0) != 0
+        interpret=_interpret(),
+    )(jnp.asarray(dst_tbl), jnp.asarray(node_tbl), m_cn, cha, *prm_args)
+    # bits stay int8 (0/1): casting to uint8 here would add a full
+    # (nvar_pad, B) pass per iteration; callers cast once after the loop
+    return (out, bits,
+            unan.reshape(-1, 8, B)[:, 0].min(axis=0) != 0)

@@ -71,12 +71,16 @@ def test_qc_plan_validates_multiblock(codec_irr, qc_irr):
     from lut_ldpc_tpu.decoder.fast_layout import GroupedLayout
 
     lay = GroupedLayout(codec_irr.graph, slot_major=True, align=16)
-    copies = lay.qc_plan(qc_irr)
-    assert copies is not None
+    plan = lay.qc_plan(qc_irr)
+    assert plan is not None
     # full coverage of the real CN rows, one descriptor per circulant
-    assert len(copies) == len(qc_irr.circulants())
-    # the old single-degree roll plan cannot represent this layout
-    assert lay.qc_roll_plan(qc_irr) is None
+    assert len(plan.copies) == len(qc_irr.circulants())
+    # kernel tables cover every grid block with consistent degrees
+    assert len(plan.cn_rows) == qc_irr.mb and len(plan.vn_cols) == qc_irr.nb
+    for ci, src, dst in plan.cn_rows:
+        assert len(src) == len(dst) == plan.cn_degrees[ci]
+    for ci, node_base, src, dst in plan.vn_cols:
+        assert len(src) == len(dst) == plan.vn_degrees[ci]
     # node-major layouts are rejected
     assert GroupedLayout(codec_irr.graph, slot_major=False).qc_plan(qc_irr) \
         is None
@@ -102,6 +106,28 @@ def test_roll_decode_bit_identical(codec_irr):
         itr = it_ref if it_ref > 0 else codec.max_iters
         assert np.array_equal(np.asarray(b_ref), b1[f])
         assert itr == it1[f]
+
+
+def test_pallas_kernels_interpret_bit_identical(codec_irr, monkeypatch):
+    """The fused multi-class Pallas kernels (interpret mode on CPU: same
+    dataflow, no Mosaic) must decode bit-identically to the table decoder
+    and the scalar golden model."""
+    monkeypatch.setenv("LUT_LDPC_PALLAS_INTERPRET", "1")
+    codec = codec_irr
+    dec = ArithLUTDecoder(codec, early_exit=True)
+    assert dec._use_qc_kernels()  # kernel path active
+    fast = FastLUTDecoder(codec, early_exit=True)
+    rng = np.random.default_rng(9)
+    sig = float(snr2sig(0.5, 1.8))
+    y = 1.0 + sig * rng.standard_normal((16, codec.nvar))
+    llr = 2.0 * y / sig**2
+    lc, lm = codec.quantize_channel(llr)
+    r1 = [np.asarray(a) for a in dec(lc, lm)]
+    r2 = [np.asarray(a) for a in fast(lc, lm)]
+    for a, b in zip(r1, r2):
+        assert np.array_equal(a, b)
+    b_ref, it_ref = codec.decode_ref(np.asarray(lc)[0], np.asarray(lm)[0])
+    assert np.array_equal(np.asarray(b_ref), r1[0][0])
 
 
 def test_mb_override_sets_rate():
