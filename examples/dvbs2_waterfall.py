@@ -9,6 +9,15 @@ Two codes, three runs:
 2. `dvbs2_spa`: float sum-product on the *standard DVB-S2 matrix*
    (codes/rate0.50_irreg_dvbs2_N64800.alist) near 1 dB — the profile's
    natural operating point under BP.
+1b. `lut64800_qc`: the same q4 min-LUT waterfall on the girth-8 irregular
+   QUASI-CYCLIC N=64800 code built for the same ensemble
+   (core/qc.py qc_generate_irregular; codes/rate0.50_dv02-17_dc08-09_
+   N64800_qc.qc.json).  Identical ensemble => identical designed LUTs;
+   this run is the BER-parity evidence that the TPU-native QC
+   construction matches the reference-style PEG construction, while its
+   circulant structure decodes ~an order of magnitude faster
+   (examples/bench_n64800.py).
+
 3. `dvbs2_lut`: q4 min-LUT designed on the standard matrix itself (the
    reference cannot do this at all — its tree generators assert
    num_leaves >= 2 while this matrix has a degree-1 accumulator tail).
@@ -75,7 +84,8 @@ def run_one(tag, graph, snr, frames, batch, out_dir, codec=None, bp=None,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default="lut64800",
-                    choices=["lut64800", "dvbs2_spa", "dvbs2_lut"])
+                    choices=["lut64800", "lut64800_qc", "dvbs2_spa",
+                             "dvbs2_lut"])
     ap.add_argument("--frames", type=int, default=100000)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(ROOT, "docs", "waterfall"))
@@ -95,14 +105,22 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
 
-    if args.run == "lut64800":
-        graph = TannerGraph.from_alist(os.path.join(
-            ROOT, "codes", "rate0.50_dv02-17_dc08-09_lut_q4_N64800.alist"))
+    if args.run in ("lut64800", "lut64800_qc"):
+        if args.run == "lut64800_qc":
+            from lut_ldpc_tpu.core.qc import load_qc, qc_expand
+
+            graph = qc_expand(load_qc(os.path.join(
+                ROOT, "codes", "rate0.50_dv02-17_dc08-09_N64800_qc.qc.json")))
+            tag = "lut_dv02-17_N64800_qc_q4"
+        else:
+            graph = TannerGraph.from_alist(os.path.join(
+                ROOT, "codes", "rate0.50_dv02-17_dc08-09_lut_q4_N64800.alist"))
+            tag = "lut_dv02-17_N64800_q4"
         snr = _parse_range(args.snr or "0.8:0.2:1.6")
         print("designing q4 min-LUT codec at thr 0.90 (50 iters)...")
         codec = LUTCodec.design(graph, 0.90**2, max_iters=50, Nq_Cha=16,
                                 Nq_Msg=16)
-        run_one("lut_dv02-17_N64800_q4", graph, snr, args.frames, args.batch,
+        run_one(tag, graph, snr, args.frames, args.batch,
                 args.out, codec=codec)
     elif args.run == "dvbs2_spa":
         graph = TannerGraph.from_alist(os.path.join(

@@ -119,6 +119,31 @@ def main():
         assert g.nvar == 64800 and g.nchk == 32400
         write_alist(out_dvbs2, g.to_dense())
 
+    # --- quasi-cyclic codes (the TPU-native construction, core/qc.py) ------
+    # girth-8 QC structures whose decode permutations are cyclic rolls; the
+    # .qc.json stores the (Z, mb, nb, base-shift) grid, qc_expand() the graph
+    from lut_ldpc_tpu.core.qc import (qc_expand, qc_generate_irregular,
+                                      qc_generate_regular, save_qc)
+
+    qc36 = os.path.join(codes_dir, "rate0.50_dv03_dc06_N10000_qc.qc.json")
+    if not os.path.exists(qc36):
+        print("QC: (3,6) N=10000 ...", flush=True)
+        save_qc(qc36, qc_generate_regular(3, 6, Z=1000, nb=10, seed=1))
+    qcirr = os.path.join(codes_dir,
+                         "rate0.50_dv02-17_dc08-09_N64800_qc.qc.json")
+    if not os.path.exists(qcirr):
+        # Z=720, nb=90, mb=45: rate exactly 1/2; node-perspective degree
+        # fractions quantize to [27, 52, 1, 10]/90 for dv {2, 3, 9, 17}
+        # (vs the ensemble's [0.2985, 0.5782, 0.0128, 0.1105]) and the
+        # check blocks to [16, 29]/45 for dc {8, 9} (vs [0.3497, 0.6503])
+        print("QC: irregular dv02-17 N=64800 ...", flush=True)
+        ens = LDPCEnsemble.read(
+            os.path.join(ens_dir, "rate0.50_dv02-17_dc08-09_lut_q4.ens"))
+        qc = qc_generate_irregular(ens, Z=720, nb=90, seed=3, mb=45)
+        g = qc_expand(qc)
+        assert g.nvar == 64800 and g.nchk == 32400
+        save_qc(qcirr, qc)
+
     # --- PEG codes ---------------------------------------------------------
     ens_15 = LDPCEnsemble(
         np.array(published["rate0.50_dv02-15_dc08-09.ens"][0]),

@@ -106,6 +106,11 @@ class ArithOpSpec:
     sym_thr: np.ndarray | None = None  # (K/2-1,) magnitude thresholds
     sym_levels: np.ndarray | None = None  # (K/2,) magnitude levels
     has_zero: bool = True  # a reachable zero sum exists (tie can fire)
+    # inside an int16 spec, an op touched by the center-pair repair carries
+    # float32 parameters and float32 arithmetic (its values live only in
+    # registers/VMEM — message STORAGE stays int16); consumers must then
+    # evaluate the whole tree in float32 (exact on the int16 grid)
+    float_params: bool = False
 
 
 @dataclass(frozen=True)
@@ -117,18 +122,25 @@ class ArithTreeSpec:
         return (self.num_inputs, tuple(op.operands for op in self.ops))
 
     def eval_np(self, x: np.ndarray) -> np.ndarray:
-        """x (..., num_inputs) in the work dtype -> (...,) root output."""
-        dt = self.ops[0].levels.dtype
-        wide = np.int64 if np.issubdtype(dt, np.integer) else dt
-        vals = [x[..., i].astype(wide) for i in range(self.num_inputs)]
+        """x (..., num_inputs) in the work dtype -> (...,) root output.
+
+        Mirrors the validated runtime arithmetic PER OP: integer ops in
+        int64 (exact int16 adds), float ops — all ops of float32 specs,
+        plus float_params ops inside int16 specs (center-pair repair) — in
+        float32 chained adds."""
+        vals = [np.asarray(x[..., i]) for i in range(self.num_inputs)]
         for op in self.ops:
-            s = vals[op.operands[0]]
+            wide = (np.int64 if np.issubdtype(op.thresholds.dtype, np.integer)
+                    else np.float32)
+            s = vals[op.operands[0]].astype(wide)
             for sl in op.operands[1:]:
-                s = s + vals[sl]
-            out = np.full(s.shape, op.levels[0], dtype=wide)
+                s = s + vals[sl].astype(wide)
+            lv = op.levels.astype(wide)
+            out = np.full(s.shape, lv[0], dtype=wide)
             for k in range(len(op.thresholds)):
-                out = np.where(s >= op.thresholds[k], op.levels[k + 1], out)
-            tie = np.where(vals[op.operands[-1]] < 0, op.tie_lo, op.tie_hi)
+                out = np.where(s >= wide(op.thresholds[k]), lv[k + 1], out)
+            tie = np.where(vals[op.operands[-1]].astype(wide) < 0,
+                           op.tie_lo, op.tie_hi)
             out = np.where(s == 0, tie.astype(wide), out)
             vals.append(out)
         return vals[-1]
@@ -163,6 +175,38 @@ class ArithSpec:
 
 class ArithBuildError(ValueError):
     pass
+
+
+def loo_msg_spans(struct: ArithTreeSpec):
+    """Per-op (lo, hi) inclusive span of MESSAGE leaf positions under the
+    op (None when the op sees only the channel leaf), for the shared-sweep
+    leave-one-out evaluation.
+
+    A VN tree has d-1 message leaves at DFS positions 0..d-2 plus the
+    channel leaf DFS-last.  The leave-one-out output that excludes message
+    i assigns position j the message j (j < i) or j+1 (j >= i), so every
+    sub-tree whose message span lies fully below i equals its value under
+    the IDENTITY assignment and every sub-tree fully at/above i equals its
+    value under the SHIFT-BY-ONE assignment: two bottom-up sweeps plus the
+    per-output straddle path replace the d independent tree evaluations
+    (d*(d-1) op evals -> 2*(d-1) + sum_i |ancestors(i)|)."""
+    n_in = struct.num_inputs
+    spans = []
+    for op in struct.ops:
+        lo, hi = None, None
+        for x in op.operands:
+            if x < n_in - 1:  # message leaf position
+                s = (x, x)
+            elif x == n_in - 1:  # channel leaf: identical in both sweeps
+                continue
+            else:
+                s = spans[x - n_in]
+                if s is None:
+                    continue
+            lo = s[0] if lo is None else min(lo, s[0])
+            hi = s[1] if hi is None else max(hi, s[1])
+        spans.append(None if lo is None else (lo, hi))
+    return spans
 
 
 def _joint_mask(child_masks):
@@ -269,32 +313,40 @@ def _tree_values(node, leaf_msg, leaf_cha, convert, msg_mask, cha_mask):
                 raise ArithBuildError(
                     f"leaf resolution {n.K} != value table {len(table)}"
                 )
-            return slot, table, mask
+            return slot, table, mask, None
         triples = [rec(c) for c in n.children]
         slots = tuple(p[0] for p in triples)
         tables = [p[1] for p in triples]
         masks = [p[2] for p in triples]
-        ops.append((n, slots, tables, masks))
         L = int(np.prod([len(t) for t in tables]))
         lut = _var_full_table(np.asarray(n.Q), L, n.K).astype(np.int64)
         img = _node_image(n, lut, masks)
-        out_table = convert(clamp_dead(nudged_llr(n.p), img))
-        return num_leaves + len(ops) - 1, out_table, img
+        out_f64 = clamp_dead(nudged_llr(n.p), img)
+        ops.append((n, slots, tables, masks, out_f64))
+        return num_leaves + len(ops) - 1, convert(out_f64), img, out_f64
 
     rec(node)
     return ops, leaf_count
 
 
 def _op_spec(node, slots, child_tables, child_masks, out_values,
-             work_dtype) -> ArithOpSpec:
+             work_dtype, float_arith: bool = False) -> ArithOpSpec:
     """Derive thresholds for one node and validate exhaustively against its
     integer LUT in the runtime's arithmetic (float32 chained adds, or exact
     integer adds range-checked against int16).
+
+    float_arith=True (int16 specs only): validate this op in float32
+    arithmetic with float32 parameters — used for ops whose input tables
+    were forked off the integer grid by the center-pair repair.  The op's
+    emitted values (out_values) stay on the caller's grid; only the op's
+    own thresholds/arithmetic go float.
 
     Only *reachable* input combinations participate (child_masks from the
     exact LUT-image propagation): unreachable combos cannot occur at
     runtime, so the sum representation need not — and in degenerate late
     iterations cannot — reproduce the LUT's don't-care entries there."""
+    if float_arith:
+        work_dtype = np.float32
     is_int = np.issubdtype(np.dtype(work_dtype), np.integer)
     wide = np.int64 if is_int else np.float32
     ks = [len(t) for t in child_tables]
@@ -370,7 +422,7 @@ def _op_spec(node, slots, child_tables, child_masks, out_values,
                 sym_lev = out_values[half:].copy()
     return ArithOpSpec(slots, thr, out_values, float(tie_lo), float(tie_hi),
                        sym_thr=sym_thr, sym_levels=sym_lev,
-                       has_zero=bool(zero.any()))
+                       has_zero=bool(zero.any()), float_params=float_arith)
 
 
 def _dfs_leaf_types(node, out):
@@ -454,17 +506,25 @@ def _repair_center_candidates(v0, v1, table, live, nz):
     return out
 
 
-def _try_repair(node, slots, masks, emit, out_vals, work_dtype,
+def _try_repair(node, slots, masks, emit_f64, out_vals, work_dtype,
                 num_leaves) -> dict | None:
     """Attempt the center-pair repair for a failing 2-child op whose
-    children are both interior ops.  Returns {slot: new table} on success
-    (the repaired op validates exhaustively), None otherwise."""
+    children are both interior ops.  Returns {slot: new float32 table} on
+    success (the repaired op validates exhaustively), None otherwise.
+
+    The candidate tables are built from the children's f64 pre-conversion
+    LLR tables: the noise-center precondition (|center| ~ 1e-16) is only
+    visible there — an integer grid rounds the noise centers to +-1.  In
+    int16 specs the repaired tables simply live off the integer grid and
+    the affected ops carry float32 parameters (float_params); message
+    STORAGE is untouched because only interior op tables are forked."""
     if len(slots) != 2 or any(s < num_leaves for s in slots):
         return None  # leaf tables are shared across slots; cannot fork them
-    if np.issubdtype(np.dtype(work_dtype), np.integer):
-        return None  # float-mode only (int grids lack the headroom)
-    v0 = np.asarray(emit[slots[0]], dtype=np.float64)
-    v1 = np.asarray(emit[slots[1]], dtype=np.float64)
+    if slots[0] not in emit_f64 or slots[1] not in emit_f64:
+        return None
+    float_arith = np.issubdtype(np.dtype(work_dtype), np.integer)
+    v0 = np.asarray(emit_f64[slots[0]], dtype=np.float64)
+    v1 = np.asarray(emit_f64[slots[1]], dtype=np.float64)
     if len(v0) != len(v1):
         return None
     K0 = len(v0)
@@ -479,7 +539,8 @@ def _try_repair(node, slots, masks, emit, out_vals, work_dtype,
         t0 = np.asarray(w0, dtype=np.float32)
         t1 = np.asarray(w1, dtype=np.float32)
         try:
-            _op_spec(node, slots, [t0, t1], masks, out_vals, work_dtype)
+            _op_spec(node, slots, [t0, t1], masks, out_vals, work_dtype,
+                     float_arith=float_arith)
         except ArithBuildError:
             continue
         return {slots[0]: t0, slots[1]: t1}
@@ -503,47 +564,54 @@ def _build_tree_spec(tree, leaf_msg, leaf_cha, root_out_values,
         cha_mask = np.ones(len(leaf_cha), dtype=bool)
     ops_raw, num_inputs = _tree_values(tree.root, leaf_msg, leaf_cha,
                                        convert, msg_mask, cha_mask)
+    is_int = np.issubdtype(np.dtype(work_dtype), np.integer)
     # current emitted value table per slot (leaves, then op outputs);
     # the repair path may fork an op's emitted table away from its
-    # sibling's even when their pmfs are identical
+    # sibling's even when their pmfs are identical.  emit_f64 keeps the
+    # pre-conversion f64 LLR tables of interior slots (the repair's
+    # noise-center precondition is only visible there); float_slots marks
+    # slots whose tables were forked off the integer grid — ops consuming
+    # them validate and run in float32 (float_params).
     emit = {}
-    for node, slots, tables, masks in ops_raw:
+    emit_f64 = {}
+    float_slots: set = set()
+    for node, slots, tables, masks, _f64 in ops_raw:
         for s, t in zip(slots, tables):
             emit.setdefault(s, t)
     out_tables = []  # per op: its emitted table (out_vals)
     specs = []
-    for i, (node, slots, tables, masks) in enumerate(ops_raw):
+    for i, (node, slots, tables, masks, out_f64) in enumerate(ops_raw):
         is_root = i == len(ops_raw) - 1
         if is_root:
             out_vals = root_out_values
         else:
-            lut = _var_full_table(
-                np.asarray(node.Q),
-                int(np.prod([len(t) for t in tables])), node.K
-            ).astype(np.int64)
-            img = _node_image(node, lut, masks)
-            out_vals = convert(clamp_dead(nudged_llr(node.p), img))[: node.K]
+            out_vals = convert(out_f64)[: node.K]
         child_tabs = [emit[s] for s in slots]
+        fa = is_int and any(s in float_slots for s in slots)
         try:
             spec = _op_spec(node, slots, child_tabs, masks, out_vals,
-                            work_dtype)
+                            work_dtype, float_arith=fa)
         except ArithBuildError:
-            repaired = _try_repair(node, slots, masks, emit, out_vals,
+            repaired = _try_repair(node, slots, masks, emit_f64, out_vals,
                                    work_dtype, num_inputs)
             if repaired is None:
                 raise
             for s, t in repaired.items():
                 emit[s] = t
+                if is_int:
+                    float_slots.add(s)
                 j = s - num_inputs  # rebuild the child: new emitted levels
-                cn, cs, _, cm = ops_raw[j]
+                cn, cs, _t, cm, _f = ops_raw[j]
                 specs[j] = _op_spec(cn, cs, [emit[x] for x in cs], cm, t,
-                                    work_dtype)
+                                    work_dtype, float_arith=is_int)
                 out_tables[j] = t
             spec = _op_spec(node, slots, [emit[s] for s in slots], masks,
-                            out_vals, work_dtype)
+                            out_vals, work_dtype, float_arith=is_int)
         specs.append(spec)
         out_tables.append(out_vals)
         emit[num_inputs + i] = out_vals
+        if not is_root:
+            emit_f64[num_inputs + i] = out_f64[: node.K]
     return ArithTreeSpec(num_inputs=num_inputs, ops=tuple(specs))
 
 

@@ -132,10 +132,15 @@ class ArithLUTDecoder:
         # stacked per-iteration op parameters: per block, per op:
         # thr (S, K-1), levels (S, K) [+ lev0/dlev for integer specs,
         # sthr/smag for symmetric emission]; static per-op flags (sym,
-        # has_tie) live in _op_flags, outside the scanned pytrees
+        # has_tie, fp) live in _op_flags, outside the scanned pytrees.
+        # Blocks with any float_params op (center-pair-repaired interior
+        # tables inside an int16 spec) evaluate their whole tree in f32 —
+        # exact on the int16 grid (all values/sums < 2^24) — with float
+        # select-chain emission; message STORAGE stays int16.
         self._var_xs = []
         self._var_struct = []  # per block: ArithTreeSpec (structure only)
         self._op_flags = []  # per block: list of per-op static flag dicts
+        self._fp_block = []  # per block: tree evaluates in f32
         S = self.S
         dt = self._dtype_np
         for bi in range(len(lay.vn_blocks)):
@@ -143,46 +148,53 @@ class ArithLUTDecoder:
             self._var_struct.append(tree0)
             ops_xs = []
             flags = []
+            fp_block = False
             if S > 0:
                 for oi in range(len(tree0.ops)):
+                    specs_oi = [self.spec.var_trees[ii][bi].ops[oi]
+                                for ii in range(S)]
+                    fp = any(sp.float_params for sp in specs_oi)
+                    fp_block = fp_block or fp
                     thr = np.stack(
-                        [self.spec.var_trees[ii][bi].ops[oi].thresholds for ii in range(S)]
+                        [np.asarray(sp.thresholds, np.float32 if fp else None)
+                         for sp in specs_oi]
                     )
                     levels = np.stack(
-                        [self.spec.var_trees[ii][bi].ops[oi].levels for ii in range(S)]
+                        [np.asarray(sp.levels, np.float32 if fp else None)
+                         for sp in specs_oi]
                     )
-                    tie_lo = np.array(
-                        [self.spec.var_trees[ii][bi].ops[oi].tie_lo for ii in range(S)],
-                        dtype=dt,
-                    )
-                    tie_hi = np.array(
-                        [self.spec.var_trees[ii][bi].ops[oi].tie_hi for ii in range(S)],
-                        dtype=dt,
-                    )
+                    tie_lo = np.array([sp.tie_lo for sp in specs_oi],
+                                      dtype=np.float32 if fp else dt)
+                    tie_hi = np.array([sp.tie_hi for sp in specs_oi],
+                                      dtype=np.float32 if fp else dt)
                     prm = dict(thr=jnp.asarray(thr), levels=jnp.asarray(levels),
                                tie_lo=jnp.asarray(tie_lo), tie_hi=jnp.asarray(tie_hi))
-                    if self._is_int:
+                    if self._is_int and not fp:
                         # delta-emission parameters (see module docstring)
                         prm["lev0"] = jnp.asarray(levels[:, 0].astype(dt))
                         prm["dlev"] = jnp.asarray(
                             np.diff(levels.astype(np.int64), axis=1).astype(dt)
                         )
-                    specs_oi = [self.spec.var_trees[ii][bi].ops[oi]
-                                for ii in range(S)]
                     if all(sp.sym_thr is not None for sp in specs_oi):
                         # symmetric sign x magnitude emission (arith.py):
                         # half the thresholds, validated per iteration
                         prm["sthr"] = jnp.asarray(
-                            np.stack([sp.sym_thr for sp in specs_oi]))
+                            np.stack([np.asarray(sp.sym_thr,
+                                                 np.float32 if fp else None)
+                                      for sp in specs_oi]))
                         prm["smag"] = jnp.asarray(
-                            np.stack([sp.sym_levels for sp in specs_oi]))
+                            np.stack([np.asarray(sp.sym_levels,
+                                                 np.float32 if fp else None)
+                                      for sp in specs_oi]))
                     flags.append(dict(
                         sym=all(sp.sym_thr is not None for sp in specs_oi),
                         has_tie=any(sp.has_zero for sp in specs_oi),
+                        fp=fp,
                     ))
                     ops_xs.append(prm)
             self._var_xs.append(ops_xs)
             self._op_flags.append(flags)
+            self._fp_block.append(fp_block)
         self._dec_specs = self.spec.dec_trees
 
     # ------------------------------------------------------------------
@@ -282,17 +294,20 @@ class ArithLUTDecoder:
         return jnp.where(sign_prod ^ neg, -tmp, tmp)
 
     # ------------------------------------------------------------------
-    def _emit(self, s, prm, tie_ref, flags=None):
+    def _emit(self, s, prm, tie_ref, flags=None, dt=None):
         """Piecewise-constant emission for one op at one iteration.
 
         Symmetric specs (sthr/smag present): sign x magnitude chain over
         HALF the thresholds (validated exhaustively at build, arith.py).
         Integer specs: exact threshold-count delta form (module docstring).
-        Float specs: the validated sequential select chain (rounding-exact
-        by construction).  Zero sums emit the explicit tie outputs selected
-        by the sign of the most-significant operand; ops with no reachable
-        zero sum (has_tie False) skip the tie select entirely."""
-        dt = self._dtype
+        Float specs — and float_params ops inside integer specs (fp blocks
+        pass dt=float32): the validated sequential select chain
+        (rounding-exact by construction).  Zero sums emit the explicit tie
+        outputs selected by the sign of the most-significant operand; ops
+        with no reachable zero sum (has_tie False) skip the tie select
+        entirely."""
+        use_int = self._is_int and dt is None
+        dt = self._dtype if dt is None else dt
         if "sthr" in prm:
             nthr = prm["sthr"].shape[-1]
             m = jnp.abs(s)
@@ -301,7 +316,7 @@ class ArithLUTDecoder:
                 out = jnp.where(m >= prm["sthr"][..., k],
                                 prm["smag"][..., k + 1], out)
             out = jnp.where(s < 0, -out, out)
-        elif self._is_int:
+        elif use_int:
             nthr = prm["thr"].shape[-1]
             acc = jnp.broadcast_to(prm["lev0"], s.shape).astype(dt)
             zero = jnp.zeros((), dt)
@@ -320,17 +335,38 @@ class ArithLUTDecoder:
         tie = jnp.where(tie_ref < 0, prm["tie_lo"], prm["tie_hi"])
         return jnp.where(s == 0, tie.astype(dt), out)
 
-    def _eval_tree(self, struct, x_vals, op_params):
+    def _eval_tree(self, struct, x_vals, op_params, fp=False):
         """x_vals: list of leaf value arrays (DFS order), each (..., B).
         op_params: per-op dict for ONE iteration (already sliced).  Returns
-        root output values."""
-        vals = list(x_vals)
+        root output values (f32 when fp: trees containing float_params ops
+        evaluate wholly in f32 — exact on the int16 grid)."""
+        cdt = jnp.float32 if fp else None
+        vals = [v.astype(jnp.float32) for v in x_vals] if fp else list(x_vals)
         for op, prm in zip(struct.ops, op_params):
             s = vals[op.operands[0]]
             for sl in op.operands[1:]:
                 s = s + vals[sl]
-            vals.append(self._emit(s, prm, vals[op.operands[-1]]))
+            vals.append(self._emit(s, prm, vals[op.operands[-1]], dt=cdt))
         return vals[-1]
+
+    def _dec_prm(self, spec):
+        """Per-op param dicts for a decision tree + the tree's fp flag."""
+        fp = any(op.float_params for op in spec.ops)
+        prm = []
+        for op in spec.ops:
+            cast = np.float32 if fp else None
+            p = dict(thr=jnp.asarray(np.asarray(op.thresholds, cast)),
+                     levels=jnp.asarray(np.asarray(op.levels, cast)),
+                     tie_lo=jnp.asarray(np.asarray(
+                         op.tie_lo, np.float32 if fp else self._dtype_np)),
+                     tie_hi=jnp.asarray(np.asarray(
+                         op.tie_hi, np.float32 if fp else self._dtype_np)))
+            if self._is_int and not fp:
+                lv = np.asarray(op.levels, np.int64)
+                p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
+                p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
+            prm.append(p)
+        return prm, fp
 
     def _vn_block_update(self, bi, blk, m, cha_b, prm):
         """All d leave-one-out outputs of one degree block.
@@ -342,27 +378,78 @@ class ArithLUTDecoder:
         total-minus-self (exact).  Returns (d, n, B)."""
         d = blk.degree
         struct = self._var_struct[bi]
-        loo = _loo(d)  # (d, d); column d-1 is always the channel leaf
+        fp = self._fp_block[bi]
+        cdt = jnp.float32 if fp else None
+        if fp:
+            # f32 tree evaluation (exact on the int16 grid): required by
+            # float_params ops, bit-identical for the integer ops too
+            m = m.astype(jnp.float32)
+            cha_b = cha_b.astype(jnp.float32)
+        from .arith import loo_msg_spans
+
+        spans = loo_msg_spans(struct)
+        n_in = struct.num_inputs  # d: d-1 message positions + cha (last)
+        nops = len(struct.ops)
         all_msgs = struct.ops[0].operands == tuple(range(d - 1)) and d >= 3
         tot = None
         if all_msgs and self._is_int:
             tot = m[0]
             for j in range(1, d):
                 tot = tot + m[j]
+
+        def emit_op(oi, s, tie_src):
+            return self._emit(s, prm[oi], tie_src,
+                              self._op_flags[bi][oi], dt=cdt)
+
+        def sweep(shift):
+            # full bottom-up evaluation under one leaf assignment:
+            # position j -> m[j + shift]; shared across the LOO outputs
+            vals = [m[j + shift] for j in range(d - 1)] + [cha_b]
+            for oi, op in enumerate(struct.ops):
+                s = vals[op.operands[0]]
+                for sl in op.operands[1:]:
+                    s = s + vals[sl]
+                vals.append(emit_op(oi, s, vals[op.operands[-1]]))
+            return vals[n_in:]
+
+        id_out = sweep(0)  # identity: positions 0..d-2 -> m_0..m_{d-2}
+        s1_out = sweep(1) if d >= 2 else id_out  # shift1 -> m_1..m_{d-1}
+
         outs = []
         for i in range(d):
-            vals = [m[int(loo[i, j])] for j in range(d - 1)] + [cha_b]
-            for oi, op in enumerate(struct.ops):
-                if oi == 0 and tot is not None:
-                    s = tot - m[i]
-                else:
-                    s = vals[op.operands[0]]
-                    for sl in op.operands[1:]:
-                        s = s + vals[sl]
-                vals.append(self._emit(s, prm[oi], vals[op.operands[-1]],
-                                        self._op_flags[bi][oi]))
-            outs.append(vals[-1])
-        return jnp.stack(outs, axis=0)
+            if i == d - 1:
+                outs.append(id_out[-1])
+                continue
+            if i == 0:
+                outs.append(s1_out[-1])
+                continue
+            cache: dict = {}
+
+            def val(x, i=i, cache=cache):
+                if x < n_in - 1:  # message at position x
+                    return m[x] if x < i else m[x + 1]
+                if x == n_in - 1:
+                    return cha_b
+                k = x - n_in
+                sp = spans[k]
+                if sp is None or sp[1] < i:
+                    return id_out[k]
+                if sp[0] >= i:
+                    return s1_out[k]
+                if k not in cache:
+                    op = struct.ops[k]
+                    if k == 0 and tot is not None:
+                        s = tot - m[i]
+                    else:
+                        s = val(op.operands[0])
+                        for sl in op.operands[1:]:
+                            s = s + val(sl)
+                    cache[k] = emit_op(k, s, val(op.operands[-1]))
+                return cache[k]
+
+            outs.append(val(n_in + nops - 1))
+        out = jnp.stack(outs, axis=0)
+        return out.astype(self._dtype) if fp else out
 
     def _select_values(self, labels, table):
         """labels (..., ) int32 -> values via dense 16-way select."""
@@ -549,18 +636,8 @@ class ArithLUTDecoder:
                 m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
                 spec = self._dec_specs[bi]
                 x_vals = [m[j] for j in range(d)] + [cha_blocks[bi]]
-                prm = []
-                for op in spec.ops:
-                    p = dict(thr=jnp.asarray(op.thresholds),
-                             levels=jnp.asarray(op.levels),
-                             tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
-                             tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)))
-                    if self._is_int:
-                        lv = np.asarray(op.levels, np.int64)
-                        p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
-                        p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
-                    prm.append(p)
-                out = self._eval_tree(spec, x_vals, prm)  # (n_pad, B)
+                prm, fp = self._dec_prm(spec)
+                out = self._eval_tree(spec, x_vals, prm, fp=fp)  # (n_pad, B)
                 dec_bits.append((out < 0).astype(jnp.uint8))
             dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar_pad, B)
 
@@ -797,20 +874,8 @@ class ArithLUTDecoder:
                 spec = self._dec_specs[bi]
                 cha_b = vcha[blk.node_start : blk.node_start + blk.n_pad]
                 x_vals = [m[j2] for j2 in range(d)] + [cha_b]
-                prm = []
-                for op in spec.ops:
-                    p = dict(
-                        thr=jnp.asarray(op.thresholds),
-                        levels=jnp.asarray(op.levels),
-                        tie_lo=jnp.asarray(np.asarray(op.tie_lo, self._dtype_np)),
-                        tie_hi=jnp.asarray(np.asarray(op.tie_hi, self._dtype_np)),
-                    )
-                    if self._is_int:
-                        lv = np.asarray(op.levels, np.int64)
-                        p["lev0"] = jnp.asarray(lv[0].astype(self._dtype_np))
-                        p["dlev"] = jnp.asarray(np.diff(lv).astype(self._dtype_np))
-                    prm.append(p)
-                out = self._eval_tree(spec, x_vals, prm)  # (n_pad, B)
+                prm, fp = self._dec_prm(spec)
+                out = self._eval_tree(spec, x_vals, prm, fp=fp)  # (n_pad, B)
                 dec_bits.append((out < 0).astype(jnp.int8))
             dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar_pad, B)
 

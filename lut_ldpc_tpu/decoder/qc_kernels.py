@@ -142,11 +142,16 @@ def _in_dmas(m_ref, scr_in, sem_in, srcs, Z, z0, NT, buf, invert=False):
 
 
 def _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, nslots, row, zt, buf):
-    """Output DMA descriptors for step (row, zt) from double buffer `buf`.
-    row/zt/buf may be traced scalars: destinations come from the SMEM
-    base table (8 * dst_tbl[row, l] + zt*NT — stored in units of 8 rows so
-    Mosaic can prove sublane-tile alignment), so drains of steps issued
-    from other branches reconstruct the same descriptors."""
+    """Output DMA descriptors for step (row, zt) from double buffer `buf`,
+    for the step's `nslots` REAL slots only.  Irregular codes: a block of
+    degree d < max degree starts d descriptors — dummy full-tile writes to
+    the scratch tail cost real HBM bandwidth (~4x write amplification on
+    the dv{2,3,9,17} profile whose mean degree is 4.3 vs max 17).  Starts
+    AND drains are emitted from the static per-(block, subtile) branch
+    nest, so `row`/`zt` are Python ints and the drain of the step issued
+    two steps ago reconstructs the same descriptors statically
+    (destinations ride an SMEM base table in 8-row units so Mosaic can
+    prove sublane-tile alignment)."""
     return [
         pltpu.make_async_copy(
             scr_out.at[buf, l],
@@ -194,6 +199,25 @@ def _cn_qc_kernel(dst_tbl, m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out,
                                   Z, czt * NT, NT, cst % 2):
                     d.wait()
 
+    # drain the output DMAs issued two steps ago from this buffer parity
+    # (before compute overwrites scr_out[buf]); per-(block, prev-block)
+    # cases with STATIC previous-block index => static REAL slot count
+    # (see the VN kernel for the case derivation)
+    for ci in range(nrows):
+        if nzt == 1:
+            cases = [(ci - 2, st >= 2, zt)]
+        else:
+            cases = [(ci, zt >= 2, zt - 2), (ci - 1, (st >= 2) & (zt < 2),
+                                             zt - 2 + nzt)]
+        for pci, cond, pzt in cases:
+            if pci < 0 or (nzt == 2 and pci == ci):
+                continue  # statically unreachable
+            @pl.when((i == ci) & cond)
+            def _(pci=pci, pzt=pzt):
+                for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                                   rows[pci][2], pci, pzt, buf):
+                    d.wait()
+
     # realign: window row r = lo mod 8 is the first wanted row; r depends
     # only on the slot's shift (NT % 8 == 0), so one branch per block.
     # Slots beyond a block's degree hold +INF: sign-positive and never
@@ -212,16 +236,6 @@ def _cn_qc_kernel(dst_tbl, m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out,
                 scr_al[l] = scr_in[buf, l, pl.ds(r, NT)]
             for l in range(len(srcs), max_dc):
                 scr_al[l] = jnp.full((NT, B), INF_S, scr_al.dtype)
-
-    # before overwriting scr_out[buf], drain the output DMAs issued from
-    # it two steps ago
-    if nsteps > 2:
-        @pl.when(st >= 2)
-        def _():
-            pst = st - 2
-            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                               max_dc, pst // nzt, pst % nzt, buf):
-                d.wait()
 
     # two-min + parity over slots (f32 compute, exact on int16 values;
     # +INF pad slots are identity for both)
@@ -252,22 +266,28 @@ def _cn_qc_kernel(dst_tbl, m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out,
         jnp.min((~neg_par).astype(jnp.int32), axis=0, keepdims=True), (8, B)
     ).astype(jnp.int8)
 
-    # issue this step's writeback; it drains two steps later (or in the
-    # final-step epilogue below)
-    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dc, i, zt,
-                       buf):
-        d.start()
-
-    @pl.when(st == nsteps - 1)
-    def _():
-        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dc, i,
-                           zt, buf):
-            d.wait()
-        if nsteps > 1:
-            pst = st - 1
+    # issue this step's writeback (REAL slots only); it drains two steps
+    # later in the drain nest above, or in the final-step epilogue here.
+    # One branch per BLOCK: the subtile index enters the destinations as a
+    # traced scalar (zt*NT is a multiple of 8 => sublane-tile aligned)
+    for ci in range(nrows):
+        @pl.when(i == ci)
+        def _(ci=ci):
             for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                               max_dc, pst // nzt, pst % nzt, 1 - buf):
-                d.wait()
+                               rows[ci][2], ci, zt, buf):
+                d.start()
+            if ci == nrows - 1:
+                @pl.when(zt == nzt - 1)
+                def _():
+                    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                                       rows[ci][2], ci, zt, buf):
+                        d.wait()
+                    if nsteps > 1:
+                        pci, pczt = divmod(nsteps - 2, nzt)
+                        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl,
+                                           NT, rows[pci][2], pci, pczt,
+                                           (nsteps - 2) % 2):
+                            d.wait()
 
 
 def cn_qc_pass(m_flat, plan, E_cn):
@@ -275,10 +295,12 @@ def cn_qc_pass(m_flat, plan, E_cn):
     synd_ok (B,) bool).
 
     plan: fast_layout.QCPlan.  The output carries Z scratch rows at the
-    tail where lower-degree blocks park their unused output DMA slots
-    (a dummy slot of subtile zt writes at E_cn + zt*NT + NT <= E_cn + Z);
-    consumers must index real rows only (they do: all reductions mask by
-    block ranges)."""
+    tail, kept for shape compatibility with carries that cross batch
+    widths; only REAL slot planes are ever written (lower-degree blocks
+    start fewer output DMAs — dummy full-tile writes would cost ~4x HBM
+    write amplification on the irregular dv{2,3,9,17} profile), so tail
+    rows are uninitialized and consumers must index real rows only (they
+    do: all reductions mask by block ranges)."""
     B = m_flat.shape[1]
     Z = plan.Z
     max_dc = max(plan.cn_degrees)
@@ -338,52 +360,97 @@ def cn_qc_pass(m_flat, plan, E_cn):
 def _vn_class_compute(scr_al, scr_cha, scr_out, buf, dv, ops, prm, use_tot,
                       out_dtype, NT, B):
     """LOO threshold-tree update for one degree class; returns
-    (neg0 (NT, B) bool, agree (NT, B) bool)."""
+    (neg0 (NT, B) bool, agree (NT, B) bool).
+
+    Shared-sweep leave-one-out (arith.loo_msg_spans): the output excluding
+    message i assigns tree position j the message j (j < i) or j+1
+    (j >= i), so sub-trees fully below/at-or-above the boundary come from
+    TWO shared bottom-up sweeps (identity / shift-by-one) and only the
+    straddle path re-evaluates per output: 2*(d-1) + ~d*log(d) op evals
+    instead of d*(d-1) — the dv=17 class drops ~2.7x of its VPU work.
+    Values are identical op-for-op, so outputs stay bit-identical."""
     cdt = jnp.float32
     zero = jnp.zeros((), cdt)
     cha = scr_cha[buf].astype(cdt)
     msg = [scr_al[k].astype(cdt) for k in range(dv)]
+    n_in = dv  # d-1 message positions + the channel leaf (DFS-last)
+    nops = len(ops)
+    spans = [op[4] for op in ops]
     tot = None
     if use_tot:
         tot = msg[0]
         for k in range(1, dv):
             tot = tot + msg[k]
 
+    def emit_op(oi, s_sum, tie_src):
+        op_operands, nthr, sym, has_tie, _span = ops[oi]
+        thr_r, lev_r, tlo_r, thi_r = prm[oi]
+        if sym:
+            # sign x magnitude factorization (arith.py sym_thr):
+            # half-depth chain on |s|, sign applied once — validated
+            # exhaustively at build time against the integer LUT
+            msum = jnp.abs(s_sum)
+            out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
+            for t in range(nthr):
+                out = jnp.where(msum >= thr_r[0, t].astype(cdt),
+                                lev_r[0, t + 1].astype(cdt), out)
+            out = jnp.where(s_sum < zero, -out, out)
+        else:
+            out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
+            for t in range(nthr):
+                out = jnp.where(s_sum >= thr_r[0, t].astype(cdt),
+                                lev_r[0, t + 1].astype(cdt), out)
+        if has_tie:
+            tie = jnp.where(tie_src < 0, tlo_r[0, 0].astype(cdt),
+                            thi_r[0, 0].astype(cdt))
+            out = jnp.where(s_sum == zero, tie, out)
+        return out
+
+    def sweep(shift):
+        vals = [msg[j + shift] for j in range(dv - 1)] + [cha]
+        for oi, op in enumerate(ops):
+            s_sum = vals[op[0][0]]
+            for sl in op[0][1:]:
+                s_sum = s_sum + vals[sl]
+            vals.append(emit_op(oi, s_sum, vals[op[0][-1]]))
+        return vals[n_in:]
+
+    id_out = sweep(0)
+    s1_out = sweep(1) if dv >= 2 else id_out
+
     neg0 = None
     agree = None
     for i_out in range(dv):
-        others = [msg[k] for k in range(dv) if k != i_out]
-        vals = others + [cha]
-        for oi, (op_operands, nthr, sym, has_tie) in enumerate(ops):
-            if oi == 0 and tot is not None:
-                s_sum = tot - msg[i_out]
-            else:
-                s_sum = vals[op_operands[0]]
-                for sl in op_operands[1:]:
-                    s_sum = s_sum + vals[sl]
-            thr_r, lev_r, tlo_r, thi_r = prm[oi]
-            if sym:
-                # sign x magnitude factorization (arith.py sym_thr):
-                # half-depth chain on |s|, sign applied once — validated
-                # exhaustively at build time against the integer LUT
-                msum = jnp.abs(s_sum)
-                out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
-                for t in range(nthr):
-                    out = jnp.where(msum >= thr_r[0, t].astype(cdt),
-                                    lev_r[0, t + 1].astype(cdt), out)
-                out = jnp.where(s_sum < zero, -out, out)
-            else:
-                out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
-                for t in range(nthr):
-                    out = jnp.where(s_sum >= thr_r[0, t].astype(cdt),
-                                    lev_r[0, t + 1].astype(cdt), out)
-            if has_tie:
-                tie_src = vals[op_operands[-1]]
-                tie = jnp.where(tie_src < 0, tlo_r[0, 0].astype(cdt),
-                                thi_r[0, 0].astype(cdt))
-                out = jnp.where(s_sum == zero, tie, out)
-            vals.append(out)
-        out_i = vals[-1]
+        if i_out == dv - 1:
+            out_i = id_out[-1]
+        elif i_out == 0:
+            out_i = s1_out[-1]
+        else:
+            cache = {}
+
+            def val(x, i_out=i_out, cache=cache):
+                if x < n_in - 1:
+                    return msg[x] if x < i_out else msg[x + 1]
+                if x == n_in - 1:
+                    return cha
+                k = x - n_in
+                sp = spans[k]
+                if sp is None or sp[1] < i_out:
+                    return id_out[k]
+                if sp[0] >= i_out:
+                    return s1_out[k]
+                if k not in cache:
+                    operands = ops[k][0]
+                    if k == 0 and tot is not None:
+                        s_sum = tot - msg[i_out]
+                    else:
+                        s_sum = val(operands[0])
+                        for sl in operands[1:]:
+                            s_sum = s_sum + val(sl)
+                    cache[k] = emit_op(k, s_sum, val(operands[-1]))
+                return cache[k]
+
+            out_i = val(n_in + nops - 1)
         scr_out[buf, i_out] = out_i.astype(out_dtype)
         ni = out_i < 0
         if neg0 is None:
@@ -460,6 +527,37 @@ def _vn_qc_kernel(*refs, cols, class_of, Z, NT, max_dv, ops_by_class,
                 for d in _in_dmas(m_ref, scr_in, sem_in, cols[cj][2],
                                   Z, czt * NT, NT, cst % 2, invert=True):
                     d.wait()
+
+    # drain the output + bits DMAs issued two steps ago from this buffer
+    # parity (before compute overwrites scr_out[buf]).  One branch per
+    # (block, two-steps-back block) case — at most two cases per block,
+    # each with a STATIC previous-block index (hence static REAL slot
+    # count); the previous subtile index and buffer parity enter the
+    # reconstructed descriptors as traced scalars.
+    def _drain_prev(pcj, pzt, b):
+        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                           len(cols[pcj][2]), pcj, pzt, b):
+            d.wait()
+        pltpu.make_async_copy(
+            scr_bits.at[b],
+            bits_ref.at[pl.ds(node_tbl[pcj] * 8 + pzt * NT, NT)],
+            sem_bits.at[b],
+        ).wait()
+
+    for cj in range(ncols):
+        # cases (prev block, guard, prev subtile): nzt == 1 -> always two
+        # blocks back; otherwise same block (zt >= 2) or one back (zt < 2)
+        if nzt == 1:
+            cases = [(cj - 2, st >= 2, zt)]
+        else:
+            cases = [(cj, zt >= 2, zt - 2), (cj - 1, (st >= 2) & (zt < 2),
+                                             zt - 2 + nzt)]
+        for pcj, cond, pzt in cases:
+            if pcj < 0 or (nzt >= 2 and nzt < 3 and pcj == cj):
+                continue  # unreachable statically (nzt==2 has no zt>=2)
+            @pl.when((j == cj) & cond)
+            def _(pcj=pcj, pzt=pzt):
+                _drain_prev(pcj, pzt, buf)
     for cj in range(ncols):
         @pl.when(j == cj)
         def _(cj=cj):
@@ -468,20 +566,6 @@ def _vn_qc_kernel(*refs, cols, class_of, Z, NT, max_dv, ops_by_class,
                 r = srcs[k][1] % 8  # (-inv) % 8 == s % 8
                 scr_al[k] = scr_in[buf, k, pl.ds(r, NT)]
     cha_dma(st, buf).wait()
-
-    if nsteps > 2:
-        @pl.when(st >= 2)
-        def _():
-            pst = st - 2
-            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                               max_dv, pst // nzt, pst % nzt, buf):
-                d.wait()
-            pltpu.make_async_copy(
-                scr_bits.at[buf],
-                bits_ref.at[pl.ds(node_tbl[pst // nzt] * 8 + (pst % nzt) * NT,
-                                  NT)],
-                sem_bits.at[buf],
-            ).wait()
 
     B = scr_cha.shape[-1]
     # compute is unrolled once per degree CLASS (not per block): blocks of
@@ -511,36 +595,40 @@ def _vn_qc_kernel(*refs, cols, class_of, Z, NT, max_dv, ops_by_class,
             ).astype(jnp.int8)
             # slots dvc..max_dv DMA stale scratch to the tail scratch rows
 
-    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dv, j, zt,
-                       buf):
-        d.start()
-    pltpu.make_async_copy(
-        scr_bits.at[buf],
-        bits_ref.at[pl.ds(node_tbl[j] * 8 + zt * NT, NT)],
-        sem_bits.at[buf],
-    ).start()
+    # issue this step's writeback (REAL slots only) + bits tile; drains
+    # happen two steps later in the input nest, or in the final-step
+    # epilogue here.  One branch per BLOCK (not per step): the z-subtile
+    # index enters the destination offsets as a traced scalar (zt*NT is a
+    # multiple of 8, so Mosaic can still prove sublane-tile alignment),
+    # which keeps the unrolled kernel small enough for the compile path.
+    def bits_dma(cj, czt, b):
+        return pltpu.make_async_copy(
+            scr_bits.at[b],
+            bits_ref.at[pl.ds(node_tbl[cj] * 8 + czt * NT, NT)],
+            sem_bits.at[b],
+        )
 
-    @pl.when(st == nsteps - 1)
-    def _():
-        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, max_dv, j,
-                           zt, buf):
-            d.wait()
-        pltpu.make_async_copy(
-            scr_bits.at[buf],
-            bits_ref.at[pl.ds(node_tbl[j] * 8 + zt * NT, NT)],
-            sem_bits.at[buf],
-        ).wait()
-        if nsteps > 1:
-            pst = st - 1
+    for cj in range(ncols):
+        @pl.when(j == cj)
+        def _(cj=cj):
             for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                               max_dv, pst // nzt, pst % nzt, 1 - buf):
-                d.wait()
-            pltpu.make_async_copy(
-                scr_bits.at[1 - buf],
-                bits_ref.at[pl.ds(node_tbl[pst // nzt] * 8 + (pst % nzt) * NT,
-                                  NT)],
-                sem_bits.at[1 - buf],
-            ).wait()
+                               len(cols[cj][2]), cj, zt, buf):
+                d.start()
+            bits_dma(cj, zt, buf).start()
+            if cj == ncols - 1:
+                @pl.when(zt == nzt - 1)
+                def _():
+                    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
+                                       len(cols[cj][2]), cj, zt, buf):
+                        d.wait()
+                    bits_dma(cj, zt, buf).wait()
+                    if nsteps > 1:
+                        pcj, pczt = divmod(nsteps - 2, nzt)
+                        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl,
+                                           NT, len(cols[pcj][2]), pcj, pczt,
+                                           (nsteps - 2) % 2):
+                            d.wait()
+                        bits_dma(pcj, pczt, (nsteps - 2) % 2).wait()
 
 
 def vn_qc_pass(m_cn, cha, plan, nvar_pad, E_vn, structs, prm_by_class,
@@ -588,13 +676,20 @@ def vn_qc_pass(m_cn, cha, plan, nvar_pad, E_vn, structs, prm_by_class,
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
-    prm_dtype = (jnp.int32 if m_cn.dtype == jnp.int16 else jnp.float32)
+    # f32 params uniformly: int16-grid values (<= 32600) are exact in f32,
+    # and float_params ops (center-pair-repaired, arith.py) carry genuinely
+    # fractional thresholds that an int cast would corrupt
+    prm_dtype = jnp.float32
+    from .arith import loo_msg_spans
+
     for c, struct in enumerate(structs):
         flags = flags_by_class[c]
+        spans = loo_msg_spans(struct)
         ops_static = tuple(
             (tuple(int(x) for x in op.operands),
              int(prm_by_class[c][oi]["thr"].shape[-1]),
-             bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]))
+             bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]),
+             spans[oi])
             for oi, op in enumerate(struct.ops)
         )
         ops_by_class.append(ops_static)
