@@ -54,13 +54,13 @@ def main():
     E_vn, E_cn = lay.num_edges_vn, lay.num_edges_cn
     nvp = lay.nvar_pad
     dt = dec._dtype_np
+    geom = qk.qc_geometry(qcp, B, dt.itemsize)
     print(f"dtype {dt}, Z={Z}, E_vn={E_vn}, E_cn={E_cn}, "
           f"vn blocks={len(lay.vn_blocks)} cn blocks={len(lay.cn_blocks)}")
-    print("NT cn:", qk.pick_nt(Z, B, max(qcp.cn_degrees), dt.itemsize),
-          "NT vn:", qk.pick_nt(Z, B, max(qcp.vn_degrees) + 1, dt.itemsize))
+    print(f"geom: {geom}")
     rng = np.random.default_rng(0)
-    mv = jnp.asarray(rng.integers(-2000, 2000, (E_vn + Z, B)).astype(dt))
-    mc = jnp.asarray(rng.integers(-2000, 2000, (E_cn + Z, B)).astype(dt))
+    mv = jnp.asarray(rng.integers(-2000, 2000, (geom.rows_vn, B)).astype(dt))
+    mc = jnp.asarray(rng.integers(-2000, 2000, (geom.rows_cn, B)).astype(dt))
     cha = jnp.asarray(rng.integers(-2000, 2000, (nvp, B)).astype(dt))
 
     KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
@@ -81,28 +81,28 @@ def main():
     ]
 
     def run_cn(m):
+        # isolated pass: thread one element back to order the scan steps
         def body(m2, _):
-            o, s = qk.cn_qc_pass(m2[:E_vn + Z], qcp, E_cn)
-            return jnp.concatenate(
-                [o[:E_vn], jnp.zeros((Z, B), o.dtype)], 0)[:E_vn + Z], None
+            o, s = qk.cn_qc_pass(m2, qcp, geom)
+            return m2.at[0, :1].set(o[0, :1]), None
         m2, _ = jax.lax.scan(body, m, None, length=S)
         return m2[:1, :1]
 
     def run_vn(m):
         def body(m2, _):
             o, bits, unan = qk.vn_qc_pass(
-                m2, cha, qcp, nvp, E_vn, dec._var_struct, prm_it, use_tots,
-                dec._op_flags, out_rows=E_cn + Z)
-            return o[:E_cn + Z], None
+                m2, cha, qcp, geom, nvp, dec._var_struct, prm_it, use_tots,
+                dec._op_flags)
+            return m2.at[0, :1].set(o[0, :1]), None
         m2, _ = jax.lax.scan(body, m, None, length=S)
         return m2[:1, :1]
 
     def run_both(m):
         def body(m2, _):
-            o, s = qk.cn_qc_pass(m2, qcp, E_cn)
+            o, s = qk.cn_qc_pass(m2, qcp, geom)
             mvn, bits, unan = qk.vn_qc_pass(
-                o, cha, qcp, nvp, E_vn, dec._var_struct, prm_it, use_tots,
-                dec._op_flags, out_rows=E_vn + Z)
+                o, cha, qcp, geom, nvp, dec._var_struct, prm_it, use_tots,
+                dec._op_flags)
             return mvn, None
         m2, _ = jax.lax.scan(body, m, None, length=S)
         return m2[:1, :1]

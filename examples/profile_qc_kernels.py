@@ -47,8 +47,19 @@ def main():
     E_vn, E_cn = lay.num_edges_vn, lay.num_edges_cn
     nvp = lay.nvar_pad
     dt = dec._dtype_np
+    geom = qk.qc_geometry(qcp, B, dt.itemsize)
+    k_vn = qk.std_to_kernel_rows(qcp, geom, "vn", E_vn)
+    k_cn = qk.std_to_kernel_rows(qcp, geom, "cn", E_cn)
     rng = np.random.default_rng(0)
-    mv = jnp.asarray(rng.integers(-2000, 2000, (E_vn + Z, B)).astype(dt))
+    # random values in KERNEL halo layout with consistent halo mirrors
+    def rand_kernel(rows, stride):
+        m = rng.integers(-2000, 2000, (rows, B)).astype(dt)
+        m3 = m.reshape(-1, stride, B)
+        h = stride - Z
+        if h > 0:
+            m3[:, Z:] = np.concatenate([m3[:, :Z]] * (-(-h // Z)), 1)[:, :h]
+        return jnp.asarray(m3.reshape(rows, B))
+    mv = rand_kernel(geom.rows_vn, Z + geom.halo_vn)
     cha = jnp.asarray(rng.integers(-2000, 2000, (nvp, B)).astype(dt))
 
     real_cn = np.zeros(E_cn, bool)
@@ -73,15 +84,21 @@ def main():
             synds = ok if synds is None else (synds & ok)
         return jnp.concatenate(outs, axis=0), synds
 
-    cn_pal = jax.jit(lambda m: qk.cn_qc_pass(m, qcp, E_cn))
-    (o_r, s_r) = jax.jit(cn_ref)(mv)
+    cn_pal = jax.jit(lambda m: qk.cn_qc_pass(m, qcp, geom))
+    mv_std = np.zeros((E_vn, B), dt)
+    mv_std[k_vn >= 0] = np.asarray(mv)[k_vn[k_vn >= 0]]
+    (o_r, s_r) = jax.jit(cn_ref)(jnp.asarray(mv_std))
     (o_p, s_p) = cn_pal(mv)
-    eq = bool(jnp.all(jnp.asarray(o_r)[real_cn] == jnp.asarray(o_p)[:E_cn][real_cn]))
+    o_p_std = np.zeros((E_cn, B), dt)
+    o_p_std[k_cn >= 0] = np.asarray(o_p)[k_cn[k_cn >= 0]]
+    eq = bool(np.all(np.asarray(o_r)[real_cn] == o_p_std[real_cn]))
     seq = bool(jnp.all(s_r == s_p))
     print(f"CN fused: values match={eq} synd match={seq}")
 
     # ---------- VN correctness ----------
-    mc = jnp.asarray(rng.integers(-2000, 2000, (E_cn + Z, B)).astype(dt))
+    mc = rand_kernel(geom.rows_cn, Z + geom.halo_cn)
+    mc_std = np.zeros((E_cn, B), dt)
+    mc_std[k_cn >= 0] = np.asarray(mc)[k_cn[k_cn >= 0]]
     KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
     op_keys = [
         [("sthr", "smag", "tie_lo", "tie_hi") if f["sym"]
@@ -116,20 +133,21 @@ def main():
         return jnp.concatenate(outs, axis=0)
 
     vn_pal = jax.jit(lambda m, c: qk.vn_qc_pass(
-        m, c, qcp, nvp, E_vn, dec._var_struct, prm_it, use_tots,
-        dec._op_flags, out_rows=E_vn + Z))
-    vo_r = jax.jit(vn_ref)(mc, cha)
+        m, c, qcp, geom, nvp, dec._var_struct, prm_it, use_tots,
+        dec._op_flags))
+    vo_r = jax.jit(vn_ref)(jnp.asarray(mc_std), cha)
     (vo_p, b_p, a_p) = vn_pal(mc, cha)
-    veq = bool(jnp.all(jnp.asarray(vo_r)[real_vn]
-                       == jnp.asarray(vo_p)[:E_vn][real_vn]))
+    vo_p_std = np.zeros((E_vn, B), dt)
+    vo_p_std[k_vn >= 0] = np.asarray(vo_p)[k_vn[k_vn >= 0]]
+    veq = bool(np.all(np.asarray(vo_r)[real_vn] == vo_p_std[real_vn]))
     print(f"VN fused: values match={veq}")
 
     # ---------- in-scan speed ----------
     def body_full(m, _):
-        o, s = qk.cn_qc_pass(m, qcp, E_cn)
+        o, s = qk.cn_qc_pass(m, qcp, geom)
         mvn, bits, unan = qk.vn_qc_pass(
-            o, cha, qcp, nvp, E_vn, dec._var_struct, prm_it, use_tots,
-            dec._op_flags, out_rows=E_vn + Z)
+            o, cha, qcp, geom, nvp, dec._var_struct, prm_it, use_tots,
+            dec._op_flags)
         return mvn, None
 
     def run(m):

@@ -703,6 +703,7 @@ class ArithLUTDecoder:
         early_exit = self.early_exit
         E_vn, E_cn = lay.num_edges_vn, lay.num_edges_cn
         nvp = lay.nvar_pad
+        itemsize = self._dtype_np.itemsize
         structs = self._var_struct
         # total-minus-self is exact for integer values only (float rounding
         # makes (a+b+c)-c != a+b) — same gate as _vn_block_update
@@ -725,21 +726,51 @@ class ArithLUTDecoder:
 
         def decode(llr_cha, llr_msg):
             B = llr_cha.shape[0]
+            # geometry is fixed by the WIDEST batch (this trace's B): the
+            # funnel's narrower stages reuse it so carry shapes stay fixed
+            geom = qk.qc_geometry(qcp, B, itemsize)
+            vn_pl, cn_pl = qk.plane_index(qcp)
+            stride_vn = Z + geom.halo_vn
+            # kernel halo-plane layout <-> standard grouped layout, as
+            # STATIC slice+concat lists (stream-bandwidth copies; a row
+            # gather here would be DMA-issue-bound).  Plane indices ascend
+            # with the std base (qk.plane_index sorts), so both directions
+            # are in-order concatenations.
+            node_of_base = {}
+            for ci_, nbase, src_, dst_ in qcp.vn_cols:
+                for b in dst_:
+                    node_of_base[b] = nbase
+            vn_planes = sorted(vn_pl.items())  # (std_base, plane_idx)
+
+            def vn_to_kernel(v):  # per-node (nvp, B) -> halo planes
+                parts = []
+                for b, p in vn_planes:
+                    nb_ = node_of_base[b]
+                    parts.append(v[nb_ : nb_ + Z])
+                    h = geom.halo_vn
+                    while h > 0:  # mirror the plane head into the tail
+                        parts.append(v[nb_ : nb_ + min(h, Z)])
+                        h -= Z
+                return jnp.concatenate(parts, axis=0)
+
+            def vn_from_kernel(m):  # halo planes -> std grouped (E_vn, B)
+                pieces = []
+                pos = 0
+                for b, p in vn_planes:
+                    if b > pos:  # std inter-plane padding rows
+                        pieces.append(jnp.zeros((b - pos, B), m.dtype))
+                    pieces.append(m[p * stride_vn : p * stride_vn + Z])
+                    pos = b + Z
+                if pos < E_vn:
+                    pieces.append(jnp.zeros((E_vn - pos, B), m.dtype))
+                return jnp.concatenate(pieces, axis=0)
+
             cha_lab = llr_cha[:, self._vn_nodes].T  # (nvp, B) grouped
             msg_lab = llr_msg[:, self._vn_nodes].T
             vcha = self._select_values(cha_lab, self._leaf_cha)
             v0 = self._select_values(msg_lab, self._leaf_msg0)
-            parts = [
-                jnp.broadcast_to(
-                    v0[blk.node_start : blk.node_start + blk.n_pad][None],
-                    (blk.degree, blk.n_pad, B),
-                ).reshape(-1, B)
-                for blk in lay.vn_blocks
-            ]
-            # Z tail rows park unused output-DMA slots; Z (not NT) keeps
-            # the funnel's carry shape independent of the stage width
-            parts.append(jnp.zeros((Z, B), self._dtype))
-            m_vn = jnp.concatenate(parts, axis=0)  # (E_vn + Z, B)
+            # initial messages directly in halo-plane layout
+            m_vn = vn_to_kernel(v0)  # (geom.rows_vn, B)
 
             # int8 end-to-end in the loop (the kernel emits int8 sign
             # bits; a uint8 cast would cost a full pass per iteration)
@@ -755,7 +786,7 @@ class ArithLUTDecoder:
             def body(carry, x, vcha_s):
                 m_vn, bits_p, unan_p, done, latched, iters = carry
                 it = x["it"]
-                m_cn, synd = qk.cn_qc_pass(m_vn, qcp, E_cn)
+                m_cn, synd = qk.cn_qc_pass(m_vn, qcp, geom)
                 if early_exit:
                     conv = unan_p & synd & (it >= 1) & ~done
                     latched = jnp.where(conv[None, :], bits_p, latched)
@@ -769,8 +800,8 @@ class ArithLUTDecoder:
                     for bi in range(len(structs))
                 ]
                 m_vn, bits_p, unan_p = qk.vn_qc_pass(
-                    m_cn, vcha_s, qcp, nvp, E_vn, structs, prm_it,
-                    use_tots, self._op_flags, out_rows=E_vn + Z)
+                    m_cn, vcha_s, qcp, geom, nvp, structs, prm_it,
+                    use_tots, self._op_flags)
                 return (m_vn, bits_p, unan_p, done, latched, iters), None
 
             if early_exit and self.S > 0:
@@ -851,9 +882,13 @@ class ArithLUTDecoder:
                 )
 
             if raw:
-                return m_vn, done, latched.astype(jnp.uint8), iters
+                # standard grouped layout for the hybrid bridge (std pad
+                # rows zero-filled — garbage by design, masked downstream
+                # exactly as in the XLA path)
+                return (vn_from_kernel(m_vn), done,
+                        latched.astype(jnp.uint8), iters)
 
-            m_cn, synd = qk.cn_qc_pass(m_vn, qcp, E_cn)
+            m_cn, synd = qk.cn_qc_pass(m_vn, qcp, geom)
             if early_exit and self.S >= 1:
                 conv = unan_p & synd & ~done
                 latched = jnp.where(conv[None, :], bits_p, latched)
@@ -865,8 +900,15 @@ class ArithLUTDecoder:
                 return bits.astype(jnp.uint8), done, iters
 
             # XLA tail (once per decode): c2v of the kernel's CN-updated
-            # messages, then the DECTREE decision pass
-            m_fin = self._permute_c2v(m_cn[:E_cn])
+            # messages (read straight from the halo-plane layout with
+            # plane-adjusted roll-copy sources), then the DECTREE pass
+            vs_, cs_, s_ = (np.array(x, dtype=np.int64)
+                            for x in zip(*self._qc_copies))
+            cs_k = np.array([cn_pl[int(c)] * (Z + geom.halo_cn) for c in cs_],
+                            dtype=np.int32)
+            m_fin = self._scan_copies(
+                m_cn, jnp.asarray(cs_k), jnp.asarray(vs_, jnp.int32),
+                jnp.asarray(s_ % Z, jnp.int32), lay.num_edges_vn)
             dec_bits = []
             for bi, blk in enumerate(lay.vn_blocks):
                 d, n, e0 = blk.degree, blk.n_pad, blk.edge_start

@@ -4,45 +4,58 @@ irregular codes.
 For a QC graph the v2c/c2v message permutations decompose into
 per-circulant cyclic shifts with compile-time constants
 (fast_layout.GroupedLayout.qc_plan).  These kernels fuse the shifts into
-the CN / VN passes as static-size HBM->VMEM DMAs (a wrapped roll is at
-most two contiguous copies), so one decode iteration touches HBM exactly
-four times (CN read+write, VN read+write) instead of paying a separate
-DMA-issue-bound row gather per direction — and, just as important on this
-environment's tunneled TPU, one iteration is exactly TWO kernel launches
-(the tunnel penalizes op count brutally; see BASELINE.md).
+the CN / VN passes as HBM->VMEM window DMAs, so one decode iteration
+touches HBM exactly four times (CN read+write, VN read+write) instead of
+paying a separate DMA-issue-bound row gather per direction — and, just as
+important on this environment's tunneled TPU, one iteration is exactly
+TWO kernel launches.
 
-Message state lives in the FLAT slot-major padded edge arrays of
-fast_layout.GroupedLayout — the same (E, B) layout the XLA path uses —
-extended by NT scratch rows at the tail where slots of
-lower-than-maximum-degree blocks park their unused output DMAs:
+Dataflow (the round-4 redesign; the round-3 kernels unrolled one branch
+per (block, z-subtile) — 450 cases at DVB-S2 scale — which made Mosaic
+compile times explode and left the passes DMA-choreography-bound at
+~87 GB/s.  This version keeps the whole schedule DYNAMIC and is
+bandwidth-bound):
+
+- Message state lives in HALO-PLANE layout: each circulant plane (one
+  (block, slot) Z-row segment of the slot-major grouped edge array of
+  fast_layout.GroupedLayout) is stored with H extra tail rows duplicating
+  its first H rows.  Any rolled window read then is ONE contiguous
+  static-size DMA at a dynamic 8-aligned offset; the producing pass
+  re-writes the halo rows (one extra DMA per slot on the subtiles that
+  cover rows [0, H)).  ``plane_index``/``std_to_kernel_rows`` define the
+  mapping; callers convert at decode entry/exit with static slice+concat
+  lists (stream-bandwidth copies, not gathers).
+- The grid is (rows, z-subtiles); all step-dependent DMA parameters
+  (plane bases, shifts) come from SMEM tables indexed by the row id plus
+  scalar arithmetic, so the kernel body is O(#degree-classes) static
+  branches — 1-4 in practice — independent of the code's size.
+- The sub-8-row misalignment of an arbitrary shift (r = shift mod 8) is
+  repaired in VMEM with a dynamic ``pltpu.roll`` of the (NT+8)-row
+  window (np.roll(+k) semantics; negative dynamic shifts are unsupported
+  on v5e, so the amount is W - r).  Plans whose shifts are all multiples
+  of 8 (``QCGeom.aligned``) skip the roll and the 8 extra window rows.
+- Double buffering: step st issues step st+1's input windows before
+  waiting on its own, and output DMAs drain two steps later, so HBM
+  reads/writes overlap compute.
+- The z-subtile size NT is free (no Z-divisibility): the last subtile is
+  clamped to z0 = Z - NT and recomputes up to NT-8 overlap rows with
+  identical values (frames are independent, outputs idempotent).
+
+Kernels:
 
 - ``cn_qc_pass``: reads each check block's dc input windows from the
-  VN-grouped array with the v2c rolls applied during the DMA, computes
-  the min-LUT CN update (two-min + sign parity, value-identical to
-  chk_update_minsum, /root/reference/src/LDPC_Code_LUT.cpp:355-402),
-  writes the CN-grouped rows, and emits per-tile syndrome indicators of
-  the INPUT signs (the early-exit syndrome check, LDPC_Code_LUT.cpp:327).
-  Check blocks of lower degree than the maximum pad their remaining
-  slots with +INF in VMEM — sign-positive and never the min, so the
-  two-min/parity compute is uniform across degree classes.
+  VN-grouped halo array with the v2c rolls applied during the DMA,
+  computes the min-LUT CN update (two-min + sign parity, value-identical
+  to chk_update_minsum, /root/reference/src/LDPC_Code_LUT.cpp:355-402),
+  writes the CN-grouped halo rows, and emits per-tile syndrome
+  indicators of the INPUT signs (the early-exit syndrome check,
+  LDPC_Code_LUT.cpp:327).
 - ``vn_qc_pass``: reads each variable block's dv windows from the
-  CN-grouped array with the c2v rolls applied, evaluates that block's
-  degree class's per-iteration leave-one-out VN threshold trees (the
-  arithmetic value-domain form validated by decoder/arith.py), writes
-  the next VN-grouped rows plus hard-decision bits and per-tile sign
-  unanimity.  Compute is unrolled once per degree class; DMA issue once
-  per (block, z-subtile) as in the CN pass.
-
-Tiling: the grid runs over (block, z-subtile) with the LANE dimension
-kept whole, so every DMA moves fully contiguous (rows x B) chunks at HBM
-stream bandwidth; (block, subtile) pairs are unrolled into pl.when
-branches because the wrap split of each roll is a compile-time constant
-per (block, subtile, slot).  Output drains ride dynamic offsets from an
-SMEM base table (the descriptors of a step issued two steps ago belong
-to a different branch).  Shifts are ARBITRARY: each roll DMA reads an
-8-row-enlarged window at the sublane-tile-aligned offset below the
-requested one, and a static sublane-offset VMEM slice (r = lo mod 8,
-constant across subtiles because NT % 8 == 0) realigns it.
+  CN-grouped halo array with the c2v rolls applied, evaluates that
+  block's degree class's per-iteration leave-one-out VN threshold trees
+  (the arithmetic value-domain form validated by decoder/arith.py),
+  writes the next VN-grouped halo rows plus hard-decision bits and
+  per-tile sign unanimity.
 
 Exactness: values are int16 (|v| <= 32600) or float32; compute is
 float32 (exact on the int16 grid: integer arithmetic below 2^24),
@@ -56,6 +69,7 @@ decoder-equivalence suites.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -64,7 +78,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cn_qc_pass", "vn_qc_pass", "qc_kernels_supported", "pick_nt"]
+__all__ = [
+    "QCGeom", "qc_geometry", "plane_index",
+    "cn_qc_pass", "vn_qc_pass", "qc_kernels_supported", "pick_nt",
+]
 
 _VMEM_LIMIT = 110 * 1024 * 1024
 
@@ -92,74 +109,237 @@ def qc_kernels_supported() -> bool:
 
 def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
             budget: int = 80 << 20) -> int:
-    """Largest z-subtile NT (multiple of 8, dividing Z) whose scratch +
-    f32 temps fit the VMEM budget: double-buffered in/out windows +
-    realign copy + channel (5*nslots + 4 rows of `itemsize`) + f32 temps
-    (~nslots + 6 rows)."""
-    per_row = ((5 * nslots + 4) * itemsize + (nslots + 6) * 4) * B
-    nt = max(8, min(Z, budget // per_row // 8 * 8))
-    while Z % nt:
-        nt -= 8
-    return max(nt, 8)
+    """Largest z-subtile NT (multiple of 8, <= Z) fitting the VMEM budget:
+    double-buffered in/out windows + f32 compute temps (rolled messages,
+    two shared LOO sweeps ~2*nslots arrays, channel/working set)."""
+    per_row = ((4 * nslots + 6) * itemsize + (3 * nslots + 8) * 4) * B
+    nt = min(Z, max(8, budget // per_row // 8 * 8))
+    return nt
 
 
-def _window_pieces(s: int, Z: int, z0: int, NT: int):
-    """Static (src_off, dst_off, size) pieces for reading the NT+8-row
-    aligned window that covers rows (z - s) mod Z, z in [z0, z0+NT): the
-    window starts at lo8 = 8*floor(lo/8) with lo = (z0 - s) mod Z, so
-    every src/dst offset and size is a multiple of 8.  The caller slices
-    dst rows [lo-lo8, lo-lo8+NT) to realign."""
-    lo = (z0 - s) % Z
-    lo8 = lo - lo % 8
-    W = NT + 8
-    pieces, src, dst = [], lo8, 0
-    while dst < W:
-        n = min(Z - src, W - dst)
-        pieces.append((src, dst, n))
-        dst += n
-        src = 0
-    return pieces
+@dataclass(frozen=True)
+class QCGeom:
+    """Static geometry shared by both passes of one (plan, batch, dtype)
+    combination.  m_vn planes carry halo_vn tail rows (duplicating each
+    plane's first rows, read by the CN pass); m_cn planes carry halo_cn
+    (read by the VN pass)."""
+
+    Z: int
+    nt_cn: int      # CN pass z-subtile rows
+    nt_vn: int      # VN pass z-subtile rows
+    halo_vn: int    # tail rows per m_vn plane (>= window need of CN pass)
+    halo_cn: int    # tail rows per m_cn plane (>= window need of VN pass)
+    n_planes_vn: int
+    n_planes_cn: int
+    aligned: bool   # every shift ≡ 0 (mod 8): no realign roll, W == NT
+
+    @property
+    def rows_vn(self) -> int:  # m_vn array rows in halo layout
+        return self.n_planes_vn * (self.Z + self.halo_vn)
+
+    @property
+    def rows_cn(self) -> int:
+        return self.n_planes_cn * (self.Z + self.halo_cn)
 
 
-_SEMS_PER_SLOT = 2  # _window_pieces emits at most 2 wrap pieces (W <= Z+8)
+def _z0s(Z: int, NT: int) -> list:
+    """Clamped z-subtile schedule: z0 = zt*NT, last clamped to Z - NT
+    (overlap rows are recomputed with identical values)."""
+    nzt = -(-Z // NT)
+    return [min(zt * NT, Z - NT) for zt in range(nzt)]
 
 
-def _in_dmas(m_ref, scr_in, sem_in, srcs, Z, z0, NT, buf, invert=False):
-    """Window-read DMA descriptors for one (block, z-subtile) step into
-    double buffer `buf`; srcs = ((flat_base, shift), ...) per slot;
-    pieces/sizes are compile-time constants."""
-    dmas = []
-    for l, (base, s) in enumerate(srcs):
-        if invert:
-            s = (Z - s) % Z
-        for pi, (so, do, n) in enumerate(_window_pieces(s, Z, z0, NT)):
-            dmas.append(pltpu.make_async_copy(
-                m_ref.at[pl.ds(base + so, n)],
-                scr_in.at[buf, l, pl.ds(do, n)],
-                sem_in.at[buf, _SEMS_PER_SLOT * l + pi],
-            ))
-    return dmas
+def _halo_alloc(Z: int, NT: int, need: int) -> int:
+    """Rows to allocate per plane so every halo-writing subtile (z0 <
+    need) fits its full (NT)-row mirror write at [Z + z0, Z + z0 + NT)."""
+    zs = [z0 for z0 in _z0s(Z, NT) if z0 < need]
+    return max((z0 + NT for z0 in zs), default=0)
 
 
-def _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, nslots, row, zt, buf):
-    """Output DMA descriptors for step (row, zt) from double buffer `buf`,
-    for the step's `nslots` REAL slots only.  Irregular codes: a block of
-    degree d < max degree starts d descriptors — dummy full-tile writes to
-    the scratch tail cost real HBM bandwidth (~4x write amplification on
-    the dv{2,3,9,17} profile whose mean degree is 4.3 vs max 17).  Starts
-    AND drains are emitted from the static per-(block, subtile) branch
-    nest, so `row`/`zt` are Python ints and the drain of the step issued
-    two steps ago reconstructs the same descriptors statically
-    (destinations ride an SMEM base table in 8-row units so Mosaic can
-    prove sublane-tile alignment)."""
-    return [
-        pltpu.make_async_copy(
-            scr_out.at[buf, l],
-            o_ref.at[pl.ds(dst_tbl[row, l] * 8 + zt * NT, NT)],
-            sem_out.at[buf, l],
-        )
-        for l in range(nslots)
-    ]
+def qc_geometry(plan, B: int, itemsize: int) -> QCGeom:
+    """Compute both passes' subtile sizes and halo allocations.  The
+    window a pass reads is NT + 8 rows (NT when the plan is 8-aligned),
+    starting at an 8-aligned offset <= Z - 8, so the producing pass must
+    mirror `NT_consumer [+ 8 - 8]` rows; allocation rounds up to whole
+    producer subtiles."""
+    Z = plan.Z
+    max_dc = max(plan.cn_degrees)
+    max_dv = max(plan.vn_degrees)
+    nt_cn = pick_nt(Z, B, max_dc, itemsize)
+    nt_vn = pick_nt(Z, B, max_dv + 1, itemsize)
+    aligned = all(
+        s % 8 == 0 for _, src, _ in plan.cn_rows for _, s in src
+    )
+    # consumer window [lo8, lo8 + W), lo8 <= Z - 8, W = NT + 8 (NT if
+    # aligned): needs mirrored rows up to (Z - 8) + W - 1 - Z = W - 9
+    need_vn = nt_cn + (0 if aligned else 8) - 8  # CN pass reads m_vn
+    need_cn = nt_vn + (0 if aligned else 8) - 8  # VN pass reads m_cn
+    n_planes_vn = sum(len(src) for _, _, src, _ in plan.vn_cols)
+    n_planes_cn = sum(len(src) for _, src, _ in plan.cn_rows)
+    return QCGeom(
+        Z=Z, nt_cn=nt_cn, nt_vn=nt_vn,
+        halo_vn=_halo_alloc(Z, nt_vn, need_vn),
+        halo_cn=_halo_alloc(Z, nt_cn, need_cn),
+        n_planes_vn=n_planes_vn, n_planes_cn=n_planes_cn,
+        aligned=aligned,
+    )
+
+
+def plane_index(plan):
+    """Canonical circulant-plane numbering for the kernels' halo layout:
+    (vn_plane_of_base, cn_plane_of_base) dicts mapping each plane's flat
+    base row in the STANDARD grouped layout (fast_layout; bases appear in
+    both the src and dst views of the plan) to its plane index.  The
+    standard layout may pad between planes (align), so kernel row ==
+    plane_idx * (Z + halo) + z, NOT a reshape of the standard rows."""
+    vn_bases = sorted({b for _, _, _, dst in plan.vn_cols for b in dst})
+    cn_bases = sorted({b for _, _, dst in plan.cn_rows for b in dst})
+    return ({b: i for i, b in enumerate(vn_bases)},
+            {b: i for i, b in enumerate(cn_bases)})
+
+
+def std_to_kernel_rows(plan, geom: QCGeom, which: str, e_std: int):
+    """np.int64 (e_std,) kernel-layout row of each STANDARD grouped row
+    (-1 at std padding rows).  For tests/profiles comparing kernel
+    outputs against the XLA reference layout."""
+    vn_pl, cn_pl = plane_index(plan)
+    pl_of, stride = ((vn_pl, plan.Z + geom.halo_vn) if which == "vn"
+                     else (cn_pl, plan.Z + geom.halo_cn))
+    out = np.full(e_std, -1, np.int64)
+    for b, p in pl_of.items():
+        out[b : b + plan.Z] = p * stride + np.arange(plan.Z)
+    return out
+
+
+def _class_ranges(class_of):
+    """Contiguous (lo, hi, class_idx) row ranges; rows must be sorted by
+    class (fast_layout emits them that way)."""
+    ranges = []
+    lo = 0
+    for i in range(1, len(class_of) + 1):
+        if i == len(class_of) or class_of[i] != class_of[lo]:
+            ranges.append((lo, i, class_of[lo]))
+            lo = i
+    return ranges
+
+
+def _in_class(row, lo, hi):
+    return (row >= lo) & (row < hi)
+
+
+def _smem_i32(a):
+    return jnp.asarray(np.asarray(a, dtype=np.int32))
+
+
+class _Chor:
+    """Shared DMA choreography for both kernels: dynamic-offset window
+    reads with halo planes, double buffering, and 2-step-lagged output
+    drains.  All per-step parameters come from SMEM tables indexed by the
+    row id; the only static unrolling is one branch per degree class."""
+
+    def __init__(self, Z, NT, z0s, in_stride, out_stride, halo_need,
+                 ranges_d, aligned):
+        self.Z = Z
+        self.NT = NT
+        self.W = NT if aligned else NT + 8
+        self.z0s = z0s
+        self.nzt = len(z0s)
+        self.in_stride = in_stride    # rows per input plane (Z + halo_in)
+        self.out_stride = out_stride  # rows per output plane
+        self.halo_need = halo_need    # mirror rows required on outputs
+        self.ranges_d = ranges_d      # ((lo, hi, degree), ...) row ranges
+        self.aligned = aligned
+
+    # -- scalar helpers ------------------------------------------------
+    def z0_of(self, zt):
+        NT, Z = self.NT, self.Z
+        z0 = jnp.minimum(zt * NT, Z - NT)
+        return pl.multiple_of(z0, 8)
+
+    def rowzt(self, st):
+        row = jax.lax.div(st, self.nzt)
+        zt = jax.lax.rem(st, self.nzt)
+        return row, zt
+
+    # -- input windows ---------------------------------------------------
+    def start_in(self, m_ref, scr_in, sem_in, base8, sp, row, zt, buf, d):
+        """Issue the d window DMAs of (row, zt) into double buffer buf."""
+        Z, W = self.Z, self.W
+        z0 = self.z0_of(zt)
+        for k in range(d):
+            lo = jax.lax.rem(z0 + sp[row, k], Z)
+            lo8 = pl.multiple_of((lo // 8) * 8, 8)
+            src = pl.multiple_of(base8[row, k] * 8, 8) + lo8
+            pltpu.make_async_copy(
+                m_ref.at[pl.ds(src, W)], scr_in.at[buf, k], sem_in.at[buf, k]
+            ).start()
+
+    def wait_in(self, scr_in, sem_in, buf, d):
+        for k in range(d):
+            pltpu.make_async_copy(
+                scr_in.at[buf, k], scr_in.at[buf, k], sem_in.at[buf, k]
+            ).wait()
+
+    def window(self, scr_in, sp, row, buf, k):
+        """Aligned (NT, B) view of input slot k (dynamic realign roll)."""
+        if self.aligned:
+            return scr_in[buf, k]
+        # dynamic realign: window rows [r, r+NT) with r = shift mod 8.
+        # np.roll(+k) semantics; amount kept in [0, W) (dynamic negative
+        # or full-size shifts are unsupported on v5e Mosaic)
+        r = jax.lax.rem(sp[row, k], 8)
+        return pltpu.roll(
+            scr_in[buf, k], jax.lax.rem(self.W - r, self.W), 0
+        )[: self.NT]
+
+    # -- outputs -----------------------------------------------------------
+    def out_dmas(self, o_ref, scr_out, sem_out, sem_halo, out8, row, zt,
+                 buf, d):
+        """Main + halo-mirror output DMA descriptors for (row, zt)."""
+        NT = self.NT
+        z0 = self.z0_of(zt)
+        main, halo = [], []
+        for k in range(d):
+            dst = pl.multiple_of(out8[row, k] * 8, 8) + z0
+            main.append(pltpu.make_async_copy(
+                scr_out.at[buf, k], o_ref.at[pl.ds(dst, NT)],
+                sem_out.at[buf, k]))
+            halo.append(pltpu.make_async_copy(
+                scr_out.at[buf, k],
+                o_ref.at[pl.ds(dst + self.Z, NT)], sem_halo.at[buf, k]))
+        return main, halo
+
+    def start_out(self, o_ref, scr_out, sem_out, sem_halo, out8, row, zt,
+                  buf, d):
+        main, halo = self.out_dmas(o_ref, scr_out, sem_out, sem_halo, out8,
+                                   row, zt, buf, d)
+        for dma in main:
+            dma.start()
+        if self.halo_need > 0:
+            @pl.when(self.z0_of(zt) < self.halo_need)
+            def _():
+                for dma in halo:
+                    dma.start()
+
+    def drain_out(self, o_ref, scr_out, sem_out, sem_halo, out8, row, zt,
+                  buf, d):
+        main, halo = self.out_dmas(o_ref, scr_out, sem_out, sem_halo, out8,
+                                   row, zt, buf, d)
+        for dma in main:
+            dma.wait()
+        if self.halo_need > 0:
+            @pl.when(self.z0_of(zt) < self.halo_need)
+            def _():
+                for dma in halo:
+                    dma.wait()
+
+
+def _for_class(ranges_d, row, body):
+    """Run body(d) under a pl.when for each degree-class row range."""
+    for lo, hi, d in ranges_d:
+        @pl.when(_in_class(row, lo, hi))
+        def _(d=d):
+            body(d)
 
 
 # ---------------------------------------------------------------------------
@@ -167,187 +347,160 @@ def _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT, nslots, row, zt, buf):
 # ---------------------------------------------------------------------------
 
 
-def _cn_qc_kernel(dst_tbl, m_ref, o_ref, synd_ref, scr_in, scr_al, scr_out,
-                  sem_in, sem_out, *, rows, Z, NT, max_dc, out_dtype):
-    """rows: per grid block (class_idx, ((vn_base, shift), ...), dc)."""
+def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_out,
+                  sem_in, sem_out, sem_halo, *, chor, out_dtype):
+    ch = chor
     i = pl.program_id(0)
     zt = pl.program_id(1)
-    nzt = Z // NT
-    nrows = len(rows)
+    nzt = ch.nzt
+    nrows = pl.num_programs(0)
     nsteps = nrows * nzt
     st = i * nzt + zt
-    buf = st % 2
+    buf = jax.lax.rem(st, 2)
 
-    # --- double-buffered input windows: issue step st+1's DMAs before
-    # waiting on step st's (issued at step st-1), so the next subtile's
-    # HBM reads overlap this subtile's compute + writeback
-    for ci in range(nrows):
-        for czt in range(nzt):
-            cst = ci * nzt + czt
-            @pl.when((i == ci) & (zt == czt))
-            def _(ci=ci, czt=czt, cst=cst):
-                if cst == 0:
-                    for d in _in_dmas(m_ref, scr_in, sem_in, rows[ci][1],
-                                      Z, czt * NT, NT, 0):
-                        d.start()
-                if cst + 1 < nsteps:
-                    nci, nczt = divmod(cst + 1, nzt)
-                    for d in _in_dmas(m_ref, scr_in, sem_in, rows[nci][1],
-                                      Z, nczt * NT, NT, (cst + 1) % 2):
-                        d.start()
-                for d in _in_dmas(m_ref, scr_in, sem_in, rows[ci][1],
-                                  Z, czt * NT, NT, cst % 2):
-                    d.wait()
+    # double-buffered input windows: issue step st+1's DMAs before waiting
+    # on step st's (issued at st-1), so HBM reads overlap compute
+    @pl.when(st == 0)
+    def _():
+        _for_class(ch.ranges_d, i,
+                   lambda d: ch.start_in(m_ref, scr_in, sem_in, base8, sp,
+                                         i, zt, buf, d))
+    @pl.when(st + 1 < nsteps)
+    def _():
+        rn, ztn = ch.rowzt(st + 1)
+        _for_class(ch.ranges_d, rn,
+                   lambda d: ch.start_in(m_ref, scr_in, sem_in, base8, sp,
+                                         rn, ztn, 1 - buf, d))
+    _for_class(ch.ranges_d, i,
+               lambda d: ch.wait_in(scr_in, sem_in, buf, d))
 
     # drain the output DMAs issued two steps ago from this buffer parity
-    # (before compute overwrites scr_out[buf]); per-(block, prev-block)
-    # cases with STATIC previous-block index => static REAL slot count
-    # (see the VN kernel for the case derivation)
-    for ci in range(nrows):
-        if nzt == 1:
-            cases = [(ci - 2, st >= 2, zt)]
-        else:
-            cases = [(ci, zt >= 2, zt - 2), (ci - 1, (st >= 2) & (zt < 2),
-                                             zt - 2 + nzt)]
-        for pci, cond, pzt in cases:
-            if pci < 0 or (nzt == 2 and pci == ci):
-                continue  # statically unreachable
-            @pl.when((i == ci) & cond)
-            def _(pci=pci, pzt=pzt):
-                for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                                   rows[pci][2], pci, pzt, buf):
-                    d.wait()
+    # (before compute overwrites scr_out[buf])
+    @pl.when(st >= 2)
+    def _():
+        rp, ztp = ch.rowzt(st - 2)
+        _for_class(ch.ranges_d, rp,
+                   lambda d: ch.drain_out(o_ref, scr_out, sem_out, sem_halo,
+                                          out8, rp, ztp, buf, d))
 
-    # realign: window row r = lo mod 8 is the first wanted row; r depends
-    # only on the slot's shift (NT % 8 == 0), so one branch per block.
-    # Slots beyond a block's degree hold +INF: sign-positive and never
-    # min1/min2, so the two-min + parity below is class-uniform.
-    B = scr_al.shape[-1]
-    INF_S = jnp.asarray(
-        np.iinfo(np.int16).max if scr_al.dtype == jnp.int16 else np.inf,
-        scr_al.dtype,
-    )
-    for ci in range(nrows):
-        @pl.when(i == ci)
-        def _(ci=ci):
-            srcs = rows[ci][1]
-            for l in range(len(srcs)):
-                r = (-srcs[l][1]) % 8
-                scr_al[l] = scr_in[buf, l, pl.ds(r, NT)]
-            for l in range(len(srcs), max_dc):
-                scr_al[l] = jnp.full((NT, B), INF_S, scr_al.dtype)
-
-    # two-min + parity over slots (f32 compute, exact on int16 values;
-    # +INF pad slots are identity for both)
+    # two-min + parity over slots (f32 compute, exact on int16 values);
+    # one static branch per degree class
+    B = scr_out.shape[-1]
+    NT = ch.NT
     cdt = jnp.float32
     INF = jnp.asarray(np.inf, cdt)
-    x0 = scr_al[0].astype(cdt)
-    neg_par = x0 < 0
-    min1, min2 = jnp.abs(x0), jnp.full((NT, B), INF, cdt)
-    for l in range(1, max_dc):
-        xl = scr_al[l].astype(cdt)
-        neg_par = neg_par ^ (xl < 0)
-        mag = jnp.abs(xl)
-        min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
-        min1 = jnp.minimum(min1, mag)
-    for l in range(max_dc):
-        xl = scr_al[l].astype(cdt)
-        # where |x_l| == min1: the min over the OTHERS is min2 — for a
-        # unique minimum by definition, for duplicated minima min2 == min1
-        # so the branches agree; no first-argmin bookkeeping needed
-        # (value-identical to chk_update_minsum, enforced by the
-        # equivalence suites)
-        tmp = jnp.where(jnp.abs(xl) == min1, min2, min1)
-        flip = neg_par ^ (xl < 0)
-        scr_out[buf, l] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
 
-    # per-tile syndrome indicator of the INPUT signs
-    synd_ref[...] = jnp.broadcast_to(
-        jnp.min((~neg_par).astype(jnp.int32), axis=0, keepdims=True), (8, B)
-    ).astype(jnp.int8)
+    def compute(d):
+        x = [ch.window(scr_in, sp, i, buf, k).astype(cdt) for k in range(d)]
+        neg_par = x[0] < 0
+        min1, min2 = jnp.abs(x[0]), jnp.full((NT, B), INF, cdt)
+        for k in range(1, d):
+            neg_par = neg_par ^ (x[k] < 0)
+            mag = jnp.abs(x[k])
+            min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
+            min1 = jnp.minimum(min1, mag)
+        for k in range(d):
+            # where |x_k| == min1 the min over the OTHERS is min2 — for a
+            # unique minimum by definition, for duplicated minima
+            # min2 == min1 so the branches agree; no argmin bookkeeping
+            # (value-identical to chk_update_minsum)
+            tmp = jnp.where(jnp.abs(x[k]) == min1, min2, min1)
+            flip = neg_par ^ (x[k] < 0)
+            scr_out[buf, k] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
+        # per-tile syndrome indicator of the INPUT signs
+        synd_ref[...] = jnp.broadcast_to(
+            jnp.min((~neg_par).astype(jnp.int32), axis=0, keepdims=True),
+            (8, B),
+        ).astype(jnp.int8)
 
-    # issue this step's writeback (REAL slots only); it drains two steps
-    # later in the drain nest above, or in the final-step epilogue here.
-    # One branch per BLOCK: the subtile index enters the destinations as a
-    # traced scalar (zt*NT is a multiple of 8 => sublane-tile aligned)
-    for ci in range(nrows):
-        @pl.when(i == ci)
-        def _(ci=ci):
-            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                               rows[ci][2], ci, zt, buf):
-                d.start()
-            if ci == nrows - 1:
-                @pl.when(zt == nzt - 1)
-                def _():
-                    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                                       rows[ci][2], ci, zt, buf):
-                        d.wait()
-                    if nsteps > 1:
-                        pci, pczt = divmod(nsteps - 2, nzt)
-                        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl,
-                                           NT, rows[pci][2], pci, pczt,
-                                           (nsteps - 2) % 2):
-                            d.wait()
+    _for_class(ch.ranges_d, i, compute)
+
+    # issue this step's writeback; it drains two steps later, or in the
+    # final-step epilogue here
+    _for_class(ch.ranges_d, i,
+               lambda d: ch.start_out(o_ref, scr_out, sem_out, sem_halo,
+                                      out8, i, zt, buf, d))
+    @pl.when(st == nsteps - 1)
+    def _():
+        _for_class(ch.ranges_d, i,
+                   lambda d: ch.drain_out(o_ref, scr_out, sem_out, sem_halo,
+                                          out8, i, zt, buf, d))
+        @pl.when(nsteps >= 2)
+        def _():
+            rp, ztp = ch.rowzt(st - 1)
+            _for_class(ch.ranges_d, rp,
+                       lambda d: ch.drain_out(o_ref, scr_out, sem_out,
+                                              sem_halo, out8, rp, ztp,
+                                              1 - buf, d))
 
 
-def cn_qc_pass(m_flat, plan, E_cn):
-    """m_flat (E_vn [+NT], B) int16/f32 VN-grouped -> (m_cn (E_cn + NT, B),
-    synd_ok (B,) bool).
+def cn_qc_pass(m_vn, plan, geom: QCGeom):
+    """m_vn (geom.rows_vn, B) int16/f32 VN-grouped HALO layout ->
+    (m_cn (geom.rows_cn, B) halo layout, synd_ok (B,) bool).
 
-    plan: fast_layout.QCPlan.  The output carries Z scratch rows at the
-    tail, kept for shape compatibility with carries that cross batch
-    widths; only REAL slot planes are ever written (lower-degree blocks
-    start fewer output DMAs — dummy full-tile writes would cost ~4x HBM
-    write amplification on the irregular dv{2,3,9,17} profile), so tail
-    rows are uninitialized and consumers must index real rows only (they
-    do: all reductions mask by block ranges)."""
-    B = m_flat.shape[1]
+    plan: fast_layout.QCPlan; geom: qc_geometry(plan, B0, itemsize) — the
+    geometry must be computed once per decode build (funnel stages reuse
+    the widest batch's geometry so carry shapes stay fixed)."""
+    B = m_vn.shape[1]
     Z = plan.Z
     max_dc = max(plan.cn_degrees)
-    NT = pick_nt(Z, B, max_dc, np.dtype(m_flat.dtype).itemsize)
-    rows = tuple(
-        (ci, src, len(src)) for ci, src, dst in plan.cn_rows
-    )
-    dst_tbl = np.full((len(plan.cn_rows), max_dc), E_cn, dtype=np.int64)
+    NT = geom.nt_cn
+    in_stride = Z + geom.halo_vn
+    out_stride = Z + geom.halo_cn
+
+    vn_pl, cn_pl = plane_index(plan)
+    nrows = len(plan.cn_rows)
+    base8 = np.zeros((nrows, max_dc), np.int64)
+    sp = np.zeros((nrows, max_dc), np.int64)
+    out8 = np.zeros((nrows, max_dc), np.int64)
+    class_of = []
     for r, (ci, src, dst) in enumerate(plan.cn_rows):
-        dst_tbl[r, : len(dst)] = dst
-    if np.any(dst_tbl % 8):
-        raise ValueError("cn_qc_pass: destinations must be 8-row aligned")
-    dst_tbl = (dst_tbl // 8).astype(np.int32)
-    nzt = Z // NT
-    grid = (len(rows), nzt)
-    kern = functools.partial(
-        _cn_qc_kernel, rows=rows, Z=Z, NT=NT, max_dc=max_dc,
-        out_dtype=m_flat.dtype,
+        class_of.append(ci)
+        for k, (vbase, s) in enumerate(src):
+            # m_cn[dst + z'] = m_vn[src + (z' - s) % Z]: window offset for
+            # subtile z0 is lo = (z0 - s) mod Z = (z0 + (Z - s)) mod Z
+            base8[r, k] = vn_pl[vbase] * in_stride // 8
+            sp[r, k] = (Z - s) % Z
+        for k, cbase in enumerate(dst):
+            out8[r, k] = cn_pl[cbase] * out_stride // 8
+    ranges = tuple(
+        (lo, hi, plan.cn_degrees[ci]) for lo, hi, ci in _class_ranges(class_of)
     )
+    chor = _Chor(Z, NT, tuple(_z0s(Z, NT)), in_stride, out_stride,
+                 max(0, geom.nt_vn + (0 if geom.aligned else 8) - 8),
+                 ranges, geom.aligned)
+    nzt = chor.nzt
+    kern = functools.partial(_cn_qc_kernel, chor=chor, out_dtype=m_vn.dtype)
     out, synd = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((E_cn + Z, B), m_flat.dtype),
-            jax.ShapeDtypeStruct((len(rows) * nzt * 8, B), jnp.int8),
+            jax.ShapeDtypeStruct((geom.rows_cn, B), m_vn.dtype),
+            jax.ShapeDtypeStruct((nrows * nzt * 8, B), jnp.int8),
         ],
-        grid=grid,
+        grid=(nrows, nzt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, B), lambda i, zt: (i * nzt + zt, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, max_dc, NT + 8, B), m_flat.dtype),
-            pltpu.VMEM((max_dc, NT, B), m_flat.dtype),
-            pltpu.VMEM((2, max_dc, NT, B), m_flat.dtype),
-            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * max_dc)),
+            pltpu.VMEM((2, max_dc, chor.W, B), m_vn.dtype),
+            pltpu.VMEM((2, max_dc, NT, B), m_vn.dtype),
+            pltpu.SemaphoreType.DMA((2, max_dc)),
+            pltpu.SemaphoreType.DMA((2, max_dc)),
             pltpu.SemaphoreType.DMA((2, max_dc)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=_interpret(),
-    )(jnp.asarray(dst_tbl), m_flat)
+    )(_smem_i32(base8), _smem_i32(sp), _smem_i32(out8), m_vn)
     synd_ok = jnp.min(synd.reshape(-1, 8, B)[:, 0], axis=0) != 0
     return out, synd_ok
 
@@ -357,7 +510,7 @@ def cn_qc_pass(m_flat, plan, E_cn):
 # ---------------------------------------------------------------------------
 
 
-def _vn_class_compute(scr_al, scr_cha, scr_out, buf, dv, ops, prm, use_tot,
+def _vn_class_compute(msg, cha, scr_out, buf, dv, ops, prm, use_tot,
                       out_dtype, NT, B):
     """LOO threshold-tree update for one degree class; returns
     (neg0 (NT, B) bool, agree (NT, B) bool).
@@ -371,8 +524,6 @@ def _vn_class_compute(scr_al, scr_cha, scr_out, buf, dv, ops, prm, use_tot,
     Values are identical op-for-op, so outputs stay bit-identical."""
     cdt = jnp.float32
     zero = jnp.zeros((), cdt)
-    cha = scr_cha[buf].astype(cdt)
-    msg = [scr_al[k].astype(cdt) for k in range(dv)]
     n_in = dv  # d-1 message positions + the channel leaf (DFS-last)
     nops = len(ops)
     spans = [op[4] for op in ops]
@@ -463,18 +614,16 @@ def _vn_class_compute(scr_al, scr_cha, scr_out, buf, dv, ops, prm, use_tot,
     return neg0, agree
 
 
-def _vn_qc_kernel(*refs, cols, class_of, Z, NT, max_dv, ops_by_class,
-                  use_tot_by_class, nops_by_class, out_dtype):
-    """cols: per grid block (class_idx, node_base, ((cn_base, shift), ...));
-    class params arrive as 4 SMEM refs per (class, op), concatenated in
-    class order."""
+def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
+                  nops_by_class, out_dtype):
+    ch = chor
     nclasses = len(ops_by_class)
     nprm = sum(nops_by_class)
-    (dst_tbl, node_tbl, m_ref, cha_ref) = refs[:4]
-    prm_flat = refs[4 : 4 + 4 * nprm]
-    o_ref, bits_ref, unan_ref = refs[4 + 4 * nprm : 7 + 4 * nprm]
-    (scr_in, scr_al, scr_cha, scr_bits, scr_out,
-     sem_in, sem_cha, sem_bits, sem_out) = refs[7 + 4 * nprm:]
+    (base8, sp, out8, node8, m_ref, cha_ref) = refs[:6]
+    prm_flat = refs[6 : 6 + 4 * nprm]
+    o_ref, bits_ref, unan_ref = refs[6 + 4 * nprm : 9 + 4 * nprm]
+    (scr_in, scr_cha, scr_bits, scr_out,
+     sem_in, sem_cha, sem_bits, sem_out, sem_halo) = refs[9 + 4 * nprm:]
     prm_by_class = []
     off = 0
     for c in range(nclasses):
@@ -486,159 +635,99 @@ def _vn_qc_kernel(*refs, cols, class_of, Z, NT, max_dv, ops_by_class,
 
     j = pl.program_id(0)
     zt = pl.program_id(1)
-    nzt = Z // NT
-    ncols = len(cols)
-    nsteps = ncols * nzt
+    nzt = ch.nzt
+    nrows = pl.num_programs(0)
+    nsteps = nrows * nzt
     st = j * nzt + zt
-    buf = st % 2
+    buf = jax.lax.rem(st, 2)
+    NT = ch.NT
+    B = scr_cha.shape[-1]
 
-    # channel tile: double-buffered with fully dynamic offsets from the
-    # SMEM node-base table (contiguous single-piece reads)
-    def cha_dma(step, b):
+    # channel tile: double-buffered, dynamic offsets from the node table
+    def cha_dma(row, ztc, b):
         return pltpu.make_async_copy(
-            cha_ref.at[pl.ds(node_tbl[step // nzt] * 8 + (step % nzt) * NT, NT)],
+            cha_ref.at[pl.ds(pl.multiple_of(node8[row] * 8, 8)
+                             + ch.z0_of(ztc), NT)],
             scr_cha.at[b], sem_cha.at[b],
         )
 
     @pl.when(st == 0)
     def _():
-        cha_dma(st, buf).start()
-    if nsteps > 1:
-        @pl.when(st < nsteps - 1)
-        def _():
-            cha_dma(st + 1, 1 - buf).start()
+        cha_dma(j, zt, buf).start()
+        _for_class(ch.ranges_d, j,
+                   lambda d: ch.start_in(m_ref, scr_in, sem_in, base8, sp,
+                                         j, zt, buf, d))
+    @pl.when(st + 1 < nsteps)
+    def _():
+        rn, ztn = ch.rowzt(st + 1)
+        cha_dma(rn, ztn, 1 - buf).start()
+        _for_class(ch.ranges_d, rn,
+                   lambda d: ch.start_in(m_ref, scr_in, sem_in, base8, sp,
+                                         rn, ztn, 1 - buf, d))
+    _for_class(ch.ranges_d, j,
+               lambda d: ch.wait_in(scr_in, sem_in, buf, d))
+    cha_dma(j, zt, buf).wait()
 
-    # double-buffered input windows (see _cn_qc_kernel)
-    for cj in range(ncols):
-        for czt in range(nzt):
-            cst = cj * nzt + czt
-            @pl.when((j == cj) & (zt == czt))
-            def _(cj=cj, czt=czt, cst=cst):
-                if cst == 0:
-                    for d in _in_dmas(m_ref, scr_in, sem_in, cols[cj][2],
-                                      Z, czt * NT, NT, 0, invert=True):
-                        d.start()
-                if cst + 1 < nsteps:
-                    ncj, nczt = divmod(cst + 1, nzt)
-                    for d in _in_dmas(m_ref, scr_in, sem_in, cols[ncj][2],
-                                      Z, nczt * NT, NT, (cst + 1) % 2,
-                                      invert=True):
-                        d.start()
-                for d in _in_dmas(m_ref, scr_in, sem_in, cols[cj][2],
-                                  Z, czt * NT, NT, cst % 2, invert=True):
-                    d.wait()
-
-    # drain the output + bits DMAs issued two steps ago from this buffer
-    # parity (before compute overwrites scr_out[buf]).  One branch per
-    # (block, two-steps-back block) case — at most two cases per block,
-    # each with a STATIC previous-block index (hence static REAL slot
-    # count); the previous subtile index and buffer parity enter the
-    # reconstructed descriptors as traced scalars.
-    def _drain_prev(pcj, pzt, b):
-        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                           len(cols[pcj][2]), pcj, pzt, b):
-            d.wait()
-        pltpu.make_async_copy(
-            scr_bits.at[b],
-            bits_ref.at[pl.ds(node_tbl[pcj] * 8 + pzt * NT, NT)],
-            sem_bits.at[b],
-        ).wait()
-
-    for cj in range(ncols):
-        # cases (prev block, guard, prev subtile): nzt == 1 -> always two
-        # blocks back; otherwise same block (zt >= 2) or one back (zt < 2)
-        if nzt == 1:
-            cases = [(cj - 2, st >= 2, zt)]
-        else:
-            cases = [(cj, zt >= 2, zt - 2), (cj - 1, (st >= 2) & (zt < 2),
-                                             zt - 2 + nzt)]
-        for pcj, cond, pzt in cases:
-            if pcj < 0 or (nzt >= 2 and nzt < 3 and pcj == cj):
-                continue  # unreachable statically (nzt==2 has no zt>=2)
-            @pl.when((j == cj) & cond)
-            def _(pcj=pcj, pzt=pzt):
-                _drain_prev(pcj, pzt, buf)
-    for cj in range(ncols):
-        @pl.when(j == cj)
-        def _(cj=cj):
-            srcs = cols[cj][2]
-            for k in range(len(srcs)):
-                r = srcs[k][1] % 8  # (-inv) % 8 == s % 8
-                scr_al[k] = scr_in[buf, k, pl.ds(r, NT)]
-    cha_dma(st, buf).wait()
-
-    B = scr_cha.shape[-1]
-    # compute is unrolled once per degree CLASS (not per block): blocks of
-    # a class share tree structure and per-iteration parameters
-    class_lo = []
-    lo = 0
-    for c in range(nclasses):
-        n_c = sum(1 for cid in class_of if cid == c)
-        class_lo.append((lo, lo + n_c))
-        lo += n_c
-    for c in range(nclasses):
-        lo_c, hi_c = class_lo[c]
-        if lo_c == hi_c:
-            continue
-        @pl.when((j >= lo_c) & (j < hi_c))
-        def _(c=c, lo_c=lo_c, hi_c=hi_c):
-            # degree of this class = slot count of any of its blocks
-            dvc = next(len(cols[b][2]) for b in range(lo_c, hi_c))
-            neg0, agree = _vn_class_compute(
-                scr_al, scr_cha, scr_out, buf, dvc, ops_by_class[c],
-                prm_by_class[c], use_tot_by_class[c], out_dtype, NT, B,
-            )
-            scr_bits[buf] = neg0.astype(jnp.int8)
-            unan_ref[...] = jnp.broadcast_to(
-                jnp.min(agree.astype(jnp.int32), axis=0, keepdims=True),
-                (8, B),
-            ).astype(jnp.int8)
-            # slots dvc..max_dv DMA stale scratch to the tail scratch rows
-
-    # issue this step's writeback (REAL slots only) + bits tile; drains
-    # happen two steps later in the input nest, or in the final-step
-    # epilogue here.  One branch per BLOCK (not per step): the z-subtile
-    # index enters the destination offsets as a traced scalar (zt*NT is a
-    # multiple of 8, so Mosaic can still prove sublane-tile alignment),
-    # which keeps the unrolled kernel small enough for the compile path.
-    def bits_dma(cj, czt, b):
+    # drain outputs + bits issued two steps ago from this buffer parity
+    def bits_dma(row, ztc, b):
         return pltpu.make_async_copy(
             scr_bits.at[b],
-            bits_ref.at[pl.ds(node_tbl[cj] * 8 + czt * NT, NT)],
+            bits_ref.at[pl.ds(pl.multiple_of(node8[row] * 8, 8)
+                              + ch.z0_of(ztc), NT)],
             sem_bits.at[b],
         )
 
-    for cj in range(ncols):
-        @pl.when(j == cj)
-        def _(cj=cj):
-            for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                               len(cols[cj][2]), cj, zt, buf):
-                d.start()
-            bits_dma(cj, zt, buf).start()
-            if cj == ncols - 1:
-                @pl.when(zt == nzt - 1)
-                def _():
-                    for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl, NT,
-                                       len(cols[cj][2]), cj, zt, buf):
-                        d.wait()
-                    bits_dma(cj, zt, buf).wait()
-                    if nsteps > 1:
-                        pcj, pczt = divmod(nsteps - 2, nzt)
-                        for d in _out_dmas(o_ref, scr_out, sem_out, dst_tbl,
-                                           NT, len(cols[pcj][2]), pcj, pczt,
-                                           (nsteps - 2) % 2):
-                            d.wait()
-                        bits_dma(pcj, pczt, (nsteps - 2) % 2).wait()
+    def drain_step(row, ztc, b):
+        _for_class(ch.ranges_d, row,
+                   lambda d: ch.drain_out(o_ref, scr_out, sem_out, sem_halo,
+                                          out8, row, ztc, b, d))
+        bits_dma(row, ztc, b).wait()
+
+    @pl.when(st >= 2)
+    def _():
+        rp, ztp = ch.rowzt(st - 2)
+        drain_step(rp, ztp, buf)
+
+    # compute: one static branch per degree class
+    def compute(d, c):
+        msg = [ch.window(scr_in, sp, j, buf, k).astype(jnp.float32)
+               for k in range(d)]
+        cha = scr_cha[buf].astype(jnp.float32)
+        neg0, agree = _vn_class_compute(
+            msg, cha, scr_out, buf, d, ops_by_class[c], prm_by_class[c],
+            use_tot_by_class[c], out_dtype, NT, B,
+        )
+        scr_bits[buf] = neg0.astype(jnp.int8)
+        unan_ref[...] = jnp.broadcast_to(
+            jnp.min(agree.astype(jnp.int32), axis=0, keepdims=True),
+            (8, B),
+        ).astype(jnp.int8)
+
+    for ci_r, (lo, hi, d) in enumerate(ch.ranges_d):
+        @pl.when(_in_class(j, lo, hi))
+        def _(d=d, ci_r=ci_r):
+            compute(d, ci_r)
+
+    # issue this step's writeback + bits tile; drains happen two steps
+    # later, or in the final-step epilogue here
+    _for_class(ch.ranges_d, j,
+               lambda d: ch.start_out(o_ref, scr_out, sem_out, sem_halo,
+                                      out8, j, zt, buf, d))
+    bits_dma(j, zt, buf).start()
+    @pl.when(st == nsteps - 1)
+    def _():
+        drain_step(j, zt, buf)
+        @pl.when(nsteps >= 2)
+        def _():
+            rp, ztp = ch.rowzt(st - 1)
+            drain_step(rp, ztp, 1 - buf)
 
 
-def vn_qc_pass(m_cn, cha, plan, nvar_pad, E_vn, structs, prm_by_class,
-               use_tot_by_class, flags_by_class, out_rows=None):
-    """m_cn (E_cn [+NT], B), cha (nvar_pad, B) values ->
-    (m_vn (out_rows, B), bits (nvar_pad, B) uint8, unan (B,) bool).
-    out_rows defaults to E_vn + Z (the DMA tail must hold a dummy slot
-    write at any subtile: E_vn + zt*NT + NT <= E_vn + Z); it is explicit
-    so callers that carry m_vn across batch widths (the survivor
-    funnel) fix the carry shape.
+def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
+               prm_by_class, use_tot_by_class, flags_by_class):
+    """m_cn (geom.rows_cn, B) halo layout, cha (nvar_pad, B) values ->
+    (m_vn (geom.rows_vn, B) halo layout, bits (nvar_pad, B) int8,
+    unan (B,) bool).
 
     structs / prm_by_class / use_tot_by_class / flags_by_class: per VN
     degree class (layout block order): the ArithTreeSpec structure, the
@@ -651,30 +740,42 @@ def vn_qc_pass(m_cn, cha, plan, nvar_pad, E_vn, structs, prm_by_class,
     B = m_cn.shape[1]
     Z = plan.Z
     max_dv = max(plan.vn_degrees)
-    itemsize = np.dtype(m_cn.dtype).itemsize
-    NT = pick_nt(Z, B, max_dv + 1, itemsize)
-    cols = tuple((ci, nb, src) for ci, nb, src, dst in plan.vn_cols)
-    class_of = tuple(ci for ci, _, _, _ in plan.vn_cols)
-    dst_tbl = np.full((len(cols), max_dv), E_vn, dtype=np.int64)
-    node_tbl = np.zeros((len(cols),), dtype=np.int64)
+    NT = geom.nt_vn
+    in_stride = Z + geom.halo_cn
+    out_stride = Z + geom.halo_vn
+
+    vn_pl, cn_pl = plane_index(plan)
+    nrows = len(plan.vn_cols)
+    base8 = np.zeros((nrows, max_dv), np.int64)
+    sp = np.zeros((nrows, max_dv), np.int64)
+    out8 = np.zeros((nrows, max_dv), np.int64)
+    node8 = np.zeros((nrows,), np.int64)
+    class_of = []
     for r, (ci, nb, src, dst) in enumerate(plan.vn_cols):
-        dst_tbl[r, : len(dst)] = dst
-        node_tbl[r] = nb
-    if np.any(dst_tbl % 8) or np.any(node_tbl % 8):
-        raise ValueError("vn_qc_pass: destinations must be 8-row aligned")
-    dst_tbl = (dst_tbl // 8).astype(np.int32)
-    node_tbl = (node_tbl // 8).astype(np.int32)
-    nzt = Z // NT
-    grid = (len(cols), nzt)
+        class_of.append(ci)
+        node8[r] = nb // 8
+        for k, (cbase, s) in enumerate(src):
+            # c2v: m_vn[dst + z'] = m_cn[src + (z' + s) % Z]: window offset
+            # lo = (z0 + s) mod Z
+            base8[r, k] = cn_pl[cbase] * in_stride // 8
+            sp[r, k] = s % Z
+        for k, vbase in enumerate(dst):
+            out8[r, k] = vn_pl[vbase] * out_stride // 8
+    ranges = tuple(
+        (lo, hi, plan.vn_degrees[ci]) for lo, hi, ci in _class_ranges(class_of)
+    )
+    class_order = tuple(ci for _, _, ci in _class_ranges(class_of))
+    chor = _Chor(Z, NT, tuple(_z0s(Z, NT)), in_stride, out_stride,
+                 max(0, geom.nt_cn + (0 if geom.aligned else 8) - 8),
+                 ranges, geom.aligned)
+    nzt = chor.nzt
 
     ops_by_class = []
     nops_by_class = []
     prm_args = []
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4 + [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     # f32 params uniformly: int16-grid values (<= 32600) are exact in f32,
     # and float_params ops (center-pair-repaired, arith.py) carry genuinely
@@ -682,7 +783,8 @@ def vn_qc_pass(m_cn, cha, plan, nvar_pad, E_vn, structs, prm_by_class,
     prm_dtype = jnp.float32
     from .arith import loo_msg_spans
 
-    for c, struct in enumerate(structs):
+    for c in class_order:
+        struct = structs[c]
         flags = flags_by_class[c]
         spans = loo_msg_spans(struct)
         ops_static = tuple(
@@ -704,47 +806,44 @@ def vn_qc_pass(m_cn, cha, plan, nvar_pad, E_vn, structs, prm_by_class,
                                  memory_space=pltpu.SMEM)
                 )
 
-    if out_rows is None:
-        out_rows = E_vn + Z
-    if out_rows < E_vn + Z:
-        raise ValueError("vn_qc_pass: out_rows must cover the DMA tail")
     kern = functools.partial(
-        _vn_qc_kernel, cols=cols, class_of=class_of, Z=Z, NT=NT,
-        max_dv=max_dv, ops_by_class=tuple(ops_by_class),
-        use_tot_by_class=tuple(bool(x) for x in use_tot_by_class),
+        _vn_qc_kernel, chor=chor, ops_by_class=tuple(ops_by_class),
+        use_tot_by_class=tuple(
+            bool(use_tot_by_class[c]) for c in class_order),
         nops_by_class=tuple(nops_by_class), out_dtype=m_cn.dtype,
     )
     out, bits, unan = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((out_rows, B), m_cn.dtype),
+            jax.ShapeDtypeStruct((geom.rows_vn, B), m_cn.dtype),
             jax.ShapeDtypeStruct((nvar_pad, B), jnp.int8),
-            jax.ShapeDtypeStruct((len(cols) * nzt * 8, B), jnp.int8),
+            jax.ShapeDtypeStruct((nrows * nzt * 8, B), jnp.int8),
         ],
-        grid=grid,
+        grid=(nrows, nzt),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, B), lambda j, zt: (j * nzt + zt, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, max_dv, NT + 8, B), m_cn.dtype),
-            pltpu.VMEM((max_dv, NT, B), m_cn.dtype),
+            pltpu.VMEM((2, max_dv, chor.W, B), m_cn.dtype),
             pltpu.VMEM((2, NT, B), m_cn.dtype),
             pltpu.VMEM((2, NT, B), jnp.int8),
             pltpu.VMEM((2, max_dv, NT, B), m_cn.dtype),
-            pltpu.SemaphoreType.DMA((2, _SEMS_PER_SLOT * max_dv)),
+            pltpu.SemaphoreType.DMA((2, max_dv)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, max_dv)),
             pltpu.SemaphoreType.DMA((2, max_dv)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=_interpret(),
-    )(jnp.asarray(dst_tbl), jnp.asarray(node_tbl), m_cn, cha, *prm_args)
+    )(_smem_i32(base8), _smem_i32(sp), _smem_i32(out8), _smem_i32(node8),
+      m_cn, cha, *prm_args)
     # bits stay int8 (0/1): casting to uint8 here would add a full
     # (nvar_pad, B) pass per iteration; callers cast once after the loop
     return (out, bits,
