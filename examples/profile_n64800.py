@@ -64,11 +64,7 @@ def main():
     cha = jnp.asarray(rng.integers(-2000, 2000, (nvp, B)).astype(dt))
 
     KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
-    op_keys = [
-        [("sthr", "smag", "tie_lo", "tie_hi") if f["sym"]
-         else ("thr", "levels", "tie_lo", "tie_hi") for f in flags]
-        for flags in dec._op_flags
-    ]
+    op_keys = qk.kernel_op_keys(dec._op_flags)
     prm_it = [
         [{ks: jnp.asarray(op[k])[0] for ks, k in zip(KSLOTS, keys)}
          for op, keys in zip(dec._var_xs[bi], op_keys[bi])]

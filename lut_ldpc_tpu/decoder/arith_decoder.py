@@ -186,10 +186,37 @@ class ArithLUTDecoder:
                             np.stack([np.asarray(sp.sym_levels,
                                                  np.float32 if fp else None)
                                       for sp in specs_oi]))
+                    sym_all = all(sp.sym_thr is not None for sp in specs_oi)
+                    # f32 delta emission for the QC kernels: emit as
+                    # lev0 + sum_k [s >= thr_k] * dlev_k (independent
+                    # masked adds — ~2x the VPU throughput of the
+                    # dependent select chain) whenever the sequential-f32
+                    # partial sums reproduce every level bit-exactly;
+                    # validated here per op over all iterations
+                    def _delta_pack(levels_np):
+                        lv = np.asarray(levels_np, np.float32)
+                        d_ = np.diff(lv, axis=-1)
+                        acc = lv[..., 0].copy()
+                        for k in range(d_.shape[-1]):
+                            acc = (acc + d_[..., k]).astype(np.float32)
+                            if not np.array_equal(acc, lv[..., k + 1]):
+                                return None
+                            acc = lv[..., k + 1].copy()  # == acc (exact)
+                        return np.concatenate([lv[..., :1], d_], axis=-1)
+
+                    if sym_all:
+                        packed = _delta_pack(
+                            np.stack([np.asarray(sp.sym_levels, np.float32)
+                                      for sp in specs_oi]))
+                    else:
+                        packed = _delta_pack(np.asarray(levels, np.float32))
+                    if packed is not None:
+                        prm["kdelta"] = jnp.asarray(packed)
                     flags.append(dict(
-                        sym=all(sp.sym_thr is not None for sp in specs_oi),
+                        sym=sym_all,
                         has_tie=any(sp.has_zero for sp in specs_oi),
                         fp=fp,
+                        kdelta=packed is not None,
                     ))
                     ops_xs.append(prm)
             self._var_xs.append(ops_xs)
@@ -713,15 +740,10 @@ class ArithLUTDecoder:
             for st, blk in zip(structs, lay.vn_blocks)
         ]
         # kernel param slots: (thresholds, levels, tie_lo, tie_hi) — sym
-        # ops ride the magnitude thresholds/levels in the same slots
-        op_keys = [
-            [
-                ("sthr", "smag", "tie_lo", "tie_hi") if f["sym"]
-                else ("thr", "levels", "tie_lo", "tie_hi")
-                for f in flags
-            ]
-            for flags in self._op_flags
-        ]
+        # ops ride the magnitude thresholds/levels in the same slots, and
+        # delta-validated ops (kdelta) ride [lev0, dlev...] in the levels
+        # slot (masked-add emission, bit-exact by the build-time check)
+        op_keys = qk.kernel_op_keys(self._op_flags)
         KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
 
         def decode(llr_cha, llr_msg):

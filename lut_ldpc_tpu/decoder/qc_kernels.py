@@ -185,6 +185,23 @@ def qc_geometry(plan, B: int, itemsize: int) -> QCGeom:
     )
 
 
+def kernel_op_keys(op_flags):
+    """Per (block, op) source-key tuple for the kernel's 4 param slots
+    (thr, levels, tie_lo, tie_hi): sym ops ride magnitude params, and
+    delta-validated ops (kdelta) ride [lev0, dlev...] in the levels
+    slot.  Shared by the decoder and the profiling scripts."""
+    return [
+        [
+            (("sthr" if f["sym"] else "thr"),
+             ("kdelta" if f.get("kdelta") else
+              ("smag" if f["sym"] else "levels")),
+             "tie_lo", "tie_hi")
+            for f in flags
+        ]
+        for flags in op_flags
+    ]
+
+
 def plane_index(plan):
     """Canonical circulant-plane numbering for the kernels' halo layout:
     (vn_plane_of_base, cn_plane_of_base) dicts mapping each plane's flat
@@ -280,16 +297,22 @@ class _Chor:
                 scr_in.at[buf, k], scr_in.at[buf, k], sem_in.at[buf, k]
             ).wait()
 
-    def window(self, scr_in, sp, row, buf, k):
-        """Aligned (NT, B) view of input slot k (dynamic realign roll)."""
+    def window(self, scr_in, sp, row, buf, k, cdt=None):
+        """Aligned (NT, B) view of input slot k in compute dtype `cdt`
+        (dynamic realign roll).  Narrow dtypes are widened BEFORE the
+        roll: v5e Mosaic only implements dynamic rotate for 32-bit
+        data."""
+        w = scr_in[buf, k]
+        if cdt is not None:
+            w = w.astype(cdt)
         if self.aligned:
-            return scr_in[buf, k]
+            return w
         # dynamic realign: window rows [r, r+NT) with r = shift mod 8.
         # np.roll(+k) semantics; amount kept in [0, W) (dynamic negative
         # or full-size shifts are unsupported on v5e Mosaic)
         r = jax.lax.rem(sp[row, k], 8)
         return pltpu.roll(
-            scr_in[buf, k], jax.lax.rem(self.W - r, self.W), 0
+            w, jax.lax.rem(self.W - r, self.W), 0
         )[: self.NT]
 
     # -- outputs -----------------------------------------------------------
@@ -391,7 +414,7 @@ def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_out,
     INF = jnp.asarray(np.inf, cdt)
 
     def compute(d):
-        x = [ch.window(scr_in, sp, i, buf, k).astype(cdt) for k in range(d)]
+        x = [ch.window(scr_in, sp, i, buf, k, cdt) for k in range(d)]
         neg_par = x[0] < 0
         min1, min2 = jnp.abs(x[0]), jnp.full((NT, B), INF, cdt)
         for k in range(1, d):
@@ -526,7 +549,7 @@ def _vn_class_compute(msg, cha, scr_out, buf, dv, ops, prm, use_tot,
     zero = jnp.zeros((), cdt)
     n_in = dv  # d-1 message positions + the channel leaf (DFS-last)
     nops = len(ops)
-    spans = [op[4] for op in ops]
+    spans = [op[5] for op in ops]
     tot = None
     if use_tot:
         tot = msg[0]
@@ -534,23 +557,28 @@ def _vn_class_compute(msg, cha, scr_out, buf, dv, ops, prm, use_tot,
             tot = tot + msg[k]
 
     def emit_op(oi, s_sum, tie_src):
-        op_operands, nthr, sym, has_tie, _span = ops[oi]
+        op_operands, nthr, sym, has_tie, kdelta, _span = ops[oi]
         thr_r, lev_r, tlo_r, thi_r = prm[oi]
-        if sym:
-            # sign x magnitude factorization (arith.py sym_thr):
-            # half-depth chain on |s|, sign applied once — validated
-            # exhaustively at build time against the integer LUT
-            msum = jnp.abs(s_sum)
+        # sym: sign x magnitude factorization (arith.py sym_thr) —
+        # half-depth chain on |s|, sign applied once; validated
+        # exhaustively at build time against the integer LUT.
+        # kdelta: lev_r carries [lev0, dlev...] and the emission is
+        # lev0 + sum_k [x >= thr_k] * dlev_k — independent masked adds
+        # instead of a dependent select chain (~2x VPU throughput),
+        # bit-exact by the build-time sequential-f32 check.
+        x = jnp.abs(s_sum) if sym else s_sum
+        if kdelta:
             out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
             for t in range(nthr):
-                out = jnp.where(msum >= thr_r[0, t].astype(cdt),
-                                lev_r[0, t + 1].astype(cdt), out)
-            out = jnp.where(s_sum < zero, -out, out)
+                out = out + jnp.where(x >= thr_r[0, t].astype(cdt),
+                                      lev_r[0, t + 1].astype(cdt), zero)
         else:
             out = jnp.full((NT, B), lev_r[0, 0].astype(cdt), cdt)
             for t in range(nthr):
-                out = jnp.where(s_sum >= thr_r[0, t].astype(cdt),
+                out = jnp.where(x >= thr_r[0, t].astype(cdt),
                                 lev_r[0, t + 1].astype(cdt), out)
+        if sym:
+            out = jnp.where(s_sum < zero, -out, out)
         if has_tie:
             tie = jnp.where(tie_src < 0, tlo_r[0, 0].astype(cdt),
                             thi_r[0, 0].astype(cdt))
@@ -690,7 +718,7 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
 
     # compute: one static branch per degree class
     def compute(d, c):
-        msg = [ch.window(scr_in, sp, j, buf, k).astype(jnp.float32)
+        msg = [ch.window(scr_in, sp, j, buf, k, jnp.float32)
                for k in range(d)]
         cha = scr_cha[buf].astype(jnp.float32)
         neg0, agree = _vn_class_compute(
@@ -791,6 +819,7 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
             (tuple(int(x) for x in op.operands),
              int(prm_by_class[c][oi]["thr"].shape[-1]),
              bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]),
+             bool(flags[oi].get("kdelta", False)),
              spans[oi])
             for oi, op in enumerate(struct.ops)
         )

@@ -27,13 +27,26 @@ def test_batched_convergence_matches_host(ens36):
         assert (code > 0) == bool(a), (s, code, a)
 
 
-def test_batched_threshold_brackets_host(ens36):
+def test_batched_threshold_brackets_pinned(ens36):
     """Grid-refined f32 threshold lands within 3e-3 of the f64 bisection
-    ((3,6) BP threshold ~0.8805 at Nb=9 grids)."""
+    value, pinned here as a constant ((3,6) BP at Nb=9, maxiter 1000,
+    Pe_max 1e-6 -> 0.88046; re-derived live by the slow-marked test
+    below).  Keeping the live host bisection out of the default suite
+    saves ~150 s per run."""
+    tpu = DEBpTPU(ens36, Nb=9, Pe_max=1e-6, maxiter_de=1000)
+    thr = tpu.threshold(points=9, rounds=3)
+    assert abs(thr - 0.88046) < 3e-3, thr
+
+
+@pytest.mark.slow
+def test_batched_threshold_brackets_host(ens36):
+    """Live f64 host bisection vs the batched f32 threshold (also guards
+    the 0.88046 constant pinned above)."""
     host = DEBp(ens36, Nb=9)
     host.Pe_max = 1e-6
     host.set_exit_conditions(maxiter_de=1000)
     _, thr_host = host.bisec_search()
+    assert abs(thr_host - 0.88046) < 5e-4, thr_host
     tpu = DEBpTPU(ens36, Nb=9, Pe_max=1e-6, maxiter_de=1000)
     thr = tpu.threshold(points=9, rounds=3)
     assert abs(thr - thr_host) < 3e-3, (thr, thr_host)

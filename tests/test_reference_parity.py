@@ -100,8 +100,12 @@ def test_reference_codes_parse_and_degrees(name, nvar, dv_set):
     from lut_ldpc_tpu.core.ensemble import empirical_ensemble
     from lut_ldpc_tpu.core.tanner import TannerGraph
 
-    H = read_alist(os.path.join(REF, "codes", name))
-    g = TannerGraph.from_dense(H)
+    if nvar >= 10000:
+        # sparse column parse: the dense H of the DVB-S2 matrix is 2.1 GB
+        g = TannerGraph.from_alist(os.path.join(REF, "codes", name))
+    else:
+        H = read_alist(os.path.join(REF, "codes", name))
+        g = TannerGraph.from_dense(H)
     assert g.nvar == nvar
     ens = empirical_ensemble(g.dv_vec, g.dc_vec)
     assert set(int(d) for d in ens.degree_lam) == dv_set
