@@ -157,11 +157,22 @@ def main():
         (ens1032, 384, 2048, "rate0.84_reg_v6c32_N2048.alist"),
         (ens_irr, 500, 1000, "rate0.50_dv02-17_dc08-09_lut_q4_N1000.alist"),
     ]
+    ens_dv08 = LDPCEnsemble(
+        np.array(published["rate0.50_dv02-08_dc07-08_lut_q4.ens"][0]),
+        np.array(published["rate0.50_dv02-08_dc07-08_lut_q4.ens"][1]),
+        np.array(published["rate0.50_dv02-08_dc07-08_lut_q4.ens"][2]),
+        np.array(published["rate0.50_dv02-08_dc07-08_lut_q4.ens"][3]),
+    )
     if args.big:
         jobs.append((ens36, 5000, 10000, "rate0.50_dv03_dc06_N10000.alist"))
         jobs.append((ens_15, 5000, 10000, "rate0.50_dv02-15_dc08-09_N10000.alist"))
         jobs.append((ens_irr, 5000, 10000,
                      "rate0.50_dv02-17_dc08-09_lut_q4_N10000.alist"))
+        # the reference's second shipped N=64800 LUT design point
+        # (/root/reference/codes/README.md: rate0.50_dv02-08_dc07-08_
+        # lut_q4_N64800.alist); ~2 h of PEG
+        jobs.append((ens_dv08, 32400, 64800,
+                     "rate0.50_dv02-08_dc07-08_lut_q4_N64800.alist"))
     for ens, M, N, name in jobs:
         if os.path.exists(os.path.join(codes_dir, name)):
             print(f"PEG: {name} exists, skipping", flush=True)
@@ -172,6 +183,13 @@ def main():
         finite = lg[lg > 0]
         print(f"  N={N} M={M} edges={graph.num_edges} "
               f"girth={'inf' if not len(finite) else int(finite.min())}")
+
+    # --- rendered tree example (reference trees/example.{tikz,png}) --------
+    if not os.path.exists(os.path.join(root, "trees", "example.tikz")):
+        import subprocess
+
+        subprocess.run([sys.executable, os.path.join(
+            root, "examples", "render_tree_example.py")], check=True)
 
     print("Assets written to ensembles/ and codes/")
 

@@ -147,3 +147,37 @@ def test_tanner_graph_irregular_groups():
     assert set(int(d) for d in g.vn_degrees) == {1, 2, 3}
     total = sum(len(g.vn_node_idx[int(d)]) for d in g.vn_degrees)
     assert total == 6
+
+
+def test_dv02_08_n64800_asset_matches_ensemble():
+    """The generated dv02-08/dc07-08 N=64800 PEG code (the reference's
+    second shipped N=64800 LUT design point, codes/README.md) matches its
+    ensemble's degree support and dimensions."""
+    import os
+
+    path = "codes/rate0.50_dv02-08_dc07-08_lut_q4_N64800.alist"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("asset not generated (examples/make_assets.py --big)")
+    from lut_ldpc_tpu.core.tanner import TannerGraph
+
+    g = TannerGraph.from_alist(path)
+    assert g.nvar == 64800 and g.nchk == 32400
+    assert set(int(d) for d in g.vn_degrees) == {2, 3, 8}
+    # PEG concentrates check degrees around the mean with +-1 spill; the
+    # reference's shipped file has the same {7, 8, 9} support (5 stray 9s)
+    assert set(int(d) for d in g.cn_degrees) <= {6, 7, 8, 9}
+
+
+def test_tree_example_assets():
+    """trees/example.tikz must exist and encode the reference's degree-8
+    example template (trees/README.md); the PNG rendering rides along."""
+    import os
+
+    assert os.path.exists("trees/example.tikz")
+    assert os.path.exists("trees/example.png")
+    src = open("trees/example.tikz").read()
+    # 7 message leaves + 1 channel leaf, reference style macros
+    assert src.count("child") == 14
+    assert "\\begin{tikzpicture}" in src
