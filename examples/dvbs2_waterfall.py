@@ -131,13 +131,35 @@ def main():
     else:
         graph = TannerGraph.from_alist(os.path.join(
             ROOT, "codes", "rate0.50_irreg_dvbs2_N64800.alist"))
-        snr = _parse_range(args.snr or "3:0.5:4.5")
+        # the honest evaluation region: the SPA baseline's operating zone
+        # (~1 dB) THROUGH the min-LUT decoder's own stability-limited
+        # cliff (sigma* = 0.684 -> 3.3 dB); every point gets real frames
+        snr = _parse_range(args.snr or "0.8:0.2:4.4")
         print("designing q4 min-LUT codec on the standard matrix "
               "(thr 0.67, stability-limited profile)...")
         codec = LUTCodec.design(graph, 0.67**2, max_iters=50, Nq_Cha=16,
                                 Nq_Msg=16)
-        run_one("dvbs2_N64800_lut_q4", graph, snr, args.frames, args.batch,
-                args.out, codec=codec)
+        payload = run_one("dvbs2_N64800_lut_q4", graph, snr, args.frames,
+                          args.batch, args.out, codec=codec)
+        # append the stability analysis that explains the curve: the
+        # profile's degree-2 edge mass vs the q4 min-LUT stable limit
+        # (design/de.py get_lam2stable_lut; reference LDPC_DE.cpp:1575)
+        from lut_ldpc_tpu.design.de import get_lam2stable_lut
+        from lut_ldpc_tpu.ops.pmf import sig2snr, snr2sig
+
+        ens = graph.empirical_ensemble()
+        lam2 = float(dict(zip(ens.degree_lam.tolist(),
+                              ens.lam.tolist())).get(2, 0.0))
+        sig_op = float(snr2sig(0.5, 1.0))
+        lam2_star = float(get_lam2stable_lut(
+            sig_op, ens.chk_degree_dist_dense(), 16, 16))
+        payload.update(lam2=lam2, lam2_stable_at_1dB=lam2_star,
+                       design_thr=0.67, thr_sigma=0.684,
+                       thr_snr_db=round(float(sig2snr(0.5, 0.684)), 2))
+        out_json = os.path.join(args.out, "dvbs2_N64800_lut_q4.json")
+        with open(out_json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print("stability:", {"lam2": lam2, "lam2*": lam2_star})
 
 
 if __name__ == "__main__":
