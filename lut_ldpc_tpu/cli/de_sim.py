@@ -136,20 +136,20 @@ def de_sim_lut(cp, out) -> None:
         # configs; anything else keeps the plain host search.
         explorable = (
             tree_mode in ("auto_bin_balanced", "auto_bin_high")
-            and strategy in ("individual", "joint_root")
+            and strategy in ("individual", "joint_root", "joint_level")
         )
         if explorable:
             from ..design.de_lut_tpu import DELutTPU
 
             for nn, de in enumerate(des):
                 qb_cha, qb_msg, maxiter_de, reuse_iters = pick(nn)
-                if reuse_iters or len(reuse_vec_in) or not np.all(
-                        de.Nq_Msg_vec == de.Nq_Msg_vec[0]):
+                if reuse_iters or len(reuse_vec_in):
                     continue
                 # Nq_Msg from the host engine's (possibly Nq_msg_vec-
-                # overridden) resolution vector, not the qbits row
+                # overridden) resolution vector, not the qbits row;
+                # non-uniform vectors run the explorer's segmented path
                 tde = DELutTPU(
-                    ens, 2 ** int(qb_cha), int(de.Nq_Msg_vec[0]),
+                    ens, 2 ** int(qb_cha), de.Nq_Msg_vec,
                     maxiter_de=maxiter_de, Pe_max=Pe_max,
                     max_ni_de_iters=max_ni_de_iters, LLR_max=LLR_max,
                     Nq_fine=Nq_fine, tree_mode=tree_mode, strategy=strategy,
@@ -157,10 +157,11 @@ def de_sim_lut(cp, out) -> None:
                 tde.thr_min, tde.thr_max = thr_min, thr_max
                 lo = tde.threshold(points=17, rounds=2)
                 win = (thr_max - thr_min) / 16**2
-                # widen downward: the f32 explorer (Pe floor 1e-6) sits a
-                # touch above the f64 threshold; a window that excludes it
-                # would make the host bisection fail outright
-                de.set_bisec_window(max(thr_min, lo - 4 * win),
+                # widen downward: the f32 explorer (Pe floor 1e-6) sits
+                # above the f64 threshold — up to ~0.025 sigma on some
+                # irregular ensembles; a window that excludes the true
+                # threshold makes the host bisection fail outright
+                de.set_bisec_window(max(thr_min, lo - max(10 * win, 0.03)),
                                     min(lo + 2 * win, thr_max))
         else:
             print("de_sim: accelerator_sweep skipped (needs binary auto "
@@ -264,10 +265,11 @@ def de_sim_bp(cp, out) -> None:
             tde.host.set_bisec_window(thr_min, thr_max)
             lo = tde.threshold(points=17, rounds=2)
             win = (thr_max - thr_min) / 16**2
-            # widen downward: the f32 explorer (Pe floor 1e-6) sits a touch
-            # above the f64 threshold; a window that excludes it would make
+            # widen downward: the f32 explorer (Pe floor 1e-6) sits above
+            # the f64 threshold — up to ~0.025 sigma on some irregular
+            # ensembles; a window that excludes the true threshold makes
             # the host bisection fail outright
-            de.set_bisec_window(max(thr_min, lo - 4 * win),
+            de.set_bisec_window(max(thr_min, lo - max(10 * win, 0.03)),
                                 min(lo + 2 * win, thr_max))
     with ThreadPoolExecutor(max_workers=min(len(des), 16)) as pool:
         results = list(pool.map(lambda de: de.bisec_search(), des))

@@ -30,10 +30,12 @@ bandwidth-bound):
   scalar arithmetic, so the kernel body is O(#degree-classes) static
   branches — 1-4 in practice — independent of the code's size.
 - The sub-8-row misalignment of an arbitrary shift (r = shift mod 8) is
-  repaired in VMEM with a dynamic ``pltpu.roll`` of the (NT+8)-row
-  window (np.roll(+k) semantics; negative dynamic shifts are unsupported
-  on v5e, so the amount is W - r).  Plans whose shifts are all multiples
-  of 8 (``QCGeom.aligned``) skip the roll and the 8 extra window rows.
+  repaired in VMEM with an 8-way scalar-predicated STATIC-slice copy of
+  the (NT+8)-row window (only the taken branch executes: one (NT, B)
+  copy per slot in the storage dtype; a dynamic rotate would need a
+  widen to 32-bit on v5e and costs ~5x).  Plans whose shifts are all
+  multiples of 8 (``QCGeom.aligned``) skip the realign and the 8 extra
+  window rows.
 - Double buffering: step st issues step st+1's input windows before
   waiting on its own, and output DMAs drain two steps later, so HBM
   reads/writes overlap compute.
@@ -297,23 +299,27 @@ class _Chor:
                 scr_in.at[buf, k], scr_in.at[buf, k], sem_in.at[buf, k]
             ).wait()
 
-    def window(self, scr_in, sp, row, buf, k, cdt=None):
-        """Aligned (NT, B) view of input slot k in compute dtype `cdt`
-        (dynamic realign roll).  Narrow dtypes are widened BEFORE the
-        roll: v5e Mosaic only implements dynamic rotate for 32-bit
-        data."""
-        w = scr_in[buf, k]
-        if cdt is not None:
-            w = w.astype(cdt)
+    def realign(self, scr_in, scr_al, sp, row, buf, d):
+        """Copy the d input windows' rows [r_k, r_k + NT) into scr_al
+        (r_k = shift mod 8): an 8-way scalar-predicated branch per slot,
+        each a STATIC-slice VMEM copy in the storage dtype — only the
+        taken branch executes, so this costs one (NT, B) copy per slot.
+        (A dynamic pltpu.roll costs a widen-to-f32 plus a full rotate:
+        v5e only rotates 32-bit data, and the rotate itself is ~5x the
+        copy.)  No-op when the plan is 8-aligned (windows arrive exact)."""
         if self.aligned:
-            return w
-        # dynamic realign: window rows [r, r+NT) with r = shift mod 8.
-        # np.roll(+k) semantics; amount kept in [0, W) (dynamic negative
-        # or full-size shifts are unsupported on v5e Mosaic)
-        r = jax.lax.rem(sp[row, k], 8)
-        return pltpu.roll(
-            w, jax.lax.rem(self.W - r, self.W), 0
-        )[: self.NT]
+            return
+        for k in range(d):
+            r = jax.lax.rem(sp[row, k], 8)
+            for rv in range(8):
+                @pl.when(r == rv)
+                def _(k=k, rv=rv):
+                    scr_al[k] = scr_in[buf, k, rv : rv + self.NT]
+
+    def window(self, scr_in, scr_al, buf, k, cdt=None):
+        """Realigned (NT, B) view of input slot k in compute dtype."""
+        w = scr_in[buf, k] if self.aligned else scr_al[k]
+        return w if cdt is None else w.astype(cdt)
 
     # -- outputs -----------------------------------------------------------
     def out_dmas(self, o_ref, scr_out, sem_out, sem_halo, out8, row, zt,
@@ -370,8 +376,8 @@ def _for_class(ranges_d, row, body):
 # ---------------------------------------------------------------------------
 
 
-def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_out,
-                  sem_in, sem_out, sem_halo, *, chor, out_dtype):
+def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_al,
+                  scr_out, sem_in, sem_out, sem_halo, *, chor, out_dtype):
     ch = chor
     i = pl.program_id(0)
     zt = pl.program_id(1)
@@ -414,7 +420,8 @@ def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_out,
     INF = jnp.asarray(np.inf, cdt)
 
     def compute(d):
-        x = [ch.window(scr_in, sp, i, buf, k, cdt) for k in range(d)]
+        ch.realign(scr_in, scr_al, sp, i, buf, d)
+        x = [ch.window(scr_in, scr_al, buf, k, cdt) for k in range(d)]
         neg_par = x[0] < 0
         min1, min2 = jnp.abs(x[0]), jnp.full((NT, B), INF, cdt)
         for k in range(1, d):
@@ -514,6 +521,7 @@ def cn_qc_pass(m_vn, plan, geom: QCGeom):
         ],
         scratch_shapes=[
             pltpu.VMEM((2, max_dc, chor.W, B), m_vn.dtype),
+            pltpu.VMEM((max_dc, NT, B), m_vn.dtype),
             pltpu.VMEM((2, max_dc, NT, B), m_vn.dtype),
             pltpu.SemaphoreType.DMA((2, max_dc)),
             pltpu.SemaphoreType.DMA((2, max_dc)),
@@ -650,7 +658,7 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
     (base8, sp, out8, node8, m_ref, cha_ref) = refs[:6]
     prm_flat = refs[6 : 6 + 4 * nprm]
     o_ref, bits_ref, unan_ref = refs[6 + 4 * nprm : 9 + 4 * nprm]
-    (scr_in, scr_cha, scr_bits, scr_out,
+    (scr_in, scr_al, scr_cha, scr_bits, scr_out,
      sem_in, sem_cha, sem_bits, sem_out, sem_halo) = refs[9 + 4 * nprm:]
     prm_by_class = []
     off = 0
@@ -718,7 +726,8 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
 
     # compute: one static branch per degree class
     def compute(d, c):
-        msg = [ch.window(scr_in, sp, j, buf, k, jnp.float32)
+        ch.realign(scr_in, scr_al, sp, j, buf, d)
+        msg = [ch.window(scr_in, scr_al, buf, k, jnp.float32)
                for k in range(d)]
         cha = scr_cha[buf].astype(jnp.float32)
         neg0, agree = _vn_class_compute(
@@ -858,6 +867,7 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, max_dv, chor.W, B), m_cn.dtype),
+            pltpu.VMEM((max_dv, NT, B), m_cn.dtype),
             pltpu.VMEM((2, NT, B), m_cn.dtype),
             pltpu.VMEM((2, NT, B), jnp.int8),
             pltpu.VMEM((2, max_dv, NT, B), m_cn.dtype),

@@ -32,10 +32,13 @@ moves thresholds well below f32 resolution).  threshold() therefore runs
 coarse-to-fine f32 grid rounds on the accelerator and (optionally) hands
 the final bracket to the host f64 engine — sweeps get accelerator
 throughput, published numbers keep host precision.  Explorer scope:
-min-LUT and full-LUT (CN tree) modes, uniform per-iteration message
-resolution, binary tree shapes (auto_bin_balanced / auto_bin_high),
-individual or joint_root design strategy; reuse pre-ranking
-(prerank_reuse) covers min-LUT.
+min-LUT and full-LUT (CN tree) modes, uniform OR per-iteration vector
+message resolutions (the segmented evolve runs constant-resolution runs
+as while_loops with latched exits), binary tree shapes
+(auto_bin_balanced / auto_bin_high), individual / joint_root /
+joint_level design strategies (joint_level batches one
+level_lut_tree_update DP per tree level, de.py:405); reuse pre-ranking
+(prerank_reuse) covers uniform-resolution min-LUT.
 """
 
 from __future__ import annotations
@@ -48,22 +51,27 @@ import jax.numpy as jnp
 from ..core.trees import CHA, CHKTREE, VARTREE, LUTTree
 from ..ops.pmf import get_gaussian_pmf, rate_to_shannon_thr
 from ..ops.quant import quant_mi_sym
-from .de import INDIVIDUAL, JOINT_ROOT
+from .de import INDIVIDUAL, JOINT_LEVEL, JOINT_ROOT
 
 __all__ = ["DELutTPU"]
 
 _LOG_FLOOR = 1e-37  # f32 llr-sort guard: masses below this are rounding noise
 
 
-def _tree_schedule(tree: LUTTree) -> list[tuple]:
+def _tree_schedule(tree: LUTTree) -> tuple[list, list, list]:
     """Post-order list of pairwise joins; sources are 'msg' / 'cha' / int
-    (earlier op index).  The last op is the root."""
+    (earlier op index).  The last op is the root.  Also returns each op's
+    LEVEL (distance of its node from the root, host level_nodes
+    convention) and its node's leaf count — the joint_level strategy
+    groups ops by level and weights them by leaves."""
     ops: list[tuple] = []
+    levels: list[int] = []
+    leaves: list[int] = []
 
-    def rec(node):
+    def rec(node, depth):
         if node.is_leaf():
-            return "cha" if node.type == CHA else "msg"
-        subs = [rec(c) for c in node.children]
+            return ("cha" if node.type == CHA else "msg"), 1
+        subs = [rec(c, depth + 1) for c in node.children]
         if len(subs) == 1:
             # degree-1 VN: root over the channel leaf alone; a 16->16
             # requantization is a relabeling, which DE is invariant to
@@ -73,14 +81,19 @@ def _tree_schedule(tree: LUTTree) -> list[tuple]:
                 "DELutTPU supports binary tree shapes only "
                 "(auto_bin_balanced / auto_bin_high)"
             )
-        ops.append((subs[0], subs[1]))
-        return len(ops) - 1
+        (sa, la), (sb, lb) = subs
+        ops.append((sa, sb))
+        levels.append(depth)
+        leaves.append(la + lb)
+        return len(ops) - 1, la + lb
 
-    root_src = rec(tree.root)
+    root_src, _ = rec(tree.root, 0)
     if not ops:
         # single-leaf tree: pass-through marker
         ops.append((root_src, None))
-    return ops
+        levels.append(0)
+        leaves.append(1)
+    return ops, levels, leaves
 
 
 def _xlog2y(x, y):
@@ -100,13 +113,25 @@ class DELutTPU:
                  max_ni_de_iters: int = 1, LLR_max: float = 25.0,
                  Nq_fine: int = 5000, tree_mode: str = "auto_bin_balanced",
                  strategy: str = JOINT_ROOT, host=None, min_lut: bool = True):
-        if strategy not in (INDIVIDUAL, JOINT_ROOT):
+        if strategy not in (INDIVIDUAL, JOINT_ROOT, JOINT_LEVEL):
             raise ValueError(
-                f"DELutTPU supports individual/joint_root strategies, not {strategy}"
+                f"DELutTPU supports individual/joint_root/joint_level "
+                f"strategies, not {strategy}"
             )
         self.ens = ens
         self.Nq_Cha = int(Nq_Cha)
-        self.Nq_Msg = int(Nq_Msg)
+        # scalar = uniform per-iteration resolution; a vector (length
+        # maxiter_de, host Nq_Msg_vec semantics: entry ii = resolution of
+        # the messages PRODUCED by VN iteration ii-1 / consumed by ii)
+        # runs the segmented evolve path
+        if np.isscalar(Nq_Msg):
+            self.Nq_Msg_vec = np.full(int(maxiter_de), int(Nq_Msg), np.int64)
+        else:
+            self.Nq_Msg_vec = np.asarray(Nq_Msg, dtype=np.int64)
+            if len(self.Nq_Msg_vec) != int(maxiter_de):
+                raise ValueError("Nq_Msg vector must have maxiter_de entries")
+        self.uniform_nq = bool(np.all(self.Nq_Msg_vec == self.Nq_Msg_vec[0]))
+        self.Nq_Msg = int(self.Nq_Msg_vec[0])
         self.maxiter_de = int(maxiter_de)
         # f32 floor: pmf tails below ~1e-7 are rounding noise
         self.Pe_max = max(float(Pe_max), 1e-6)
@@ -119,19 +144,26 @@ class DELutTPU:
         self.thr_min = rate_to_shannon_thr(ens.rate()) * 1e-4
         self.thr_max = rate_to_shannon_thr(ens.rate())
 
-        # one schedule per active VN degree (same shape every iteration in
-        # uniform-resolution mode; the terminal decision tree only affects
-        # the hard output, not the threshold)
-        self._schedules = [
-            _tree_schedule(LUTTree.auto(int(d), VARTREE, tree_mode))
-            for d in ens.degree_lam
-        ]
+        # one schedule per active VN degree (same shape every iteration;
+        # the terminal decision tree only affects the hard output, not the
+        # threshold); levels/leaves feed the joint_level strategy
+        trip = [_tree_schedule(LUTTree.auto(int(d), VARTREE, tree_mode))
+                for d in ens.degree_lam]
+        self._schedules = [t[0] for t in trip]
+        self._sched_levels = [t[1] for t in trip]
+        self._sched_leaves = [t[2] for t in trip]
         # full-LUT mode: CN trees over dc-1 message leaves (LDPC_DE.cpp:
         # 414-489 non-min branch); min-LUT uses the closed-form pmf min-sum
-        self._chk_schedules = None if self.min_lut else [
-            _tree_schedule(LUTTree.auto(int(d) - 1, CHKTREE, tree_mode))
-            for d in ens.degree_rho
-        ]
+        if self.min_lut:
+            self._chk_schedules = None
+            self._chk_levels = self._chk_leaves = None
+        else:
+            ctrip = [_tree_schedule(LUTTree.auto(int(d) - 1, CHKTREE,
+                                                 tree_mode))
+                     for d in ens.degree_rho]
+            self._chk_schedules = [t[0] for t in ctrip]
+            self._chk_levels = [t[1] for t in ctrip]
+            self._chk_leaves = [t[2] for t in ctrip]
         if any(int(d) == 1 for d in ens.degree_lam) and self.Nq_Cha != self.Nq_Msg:
             raise NotImplementedError(
                 "degree-1 VNs with Nq_Cha != Nq_Msg need a real root requant"
@@ -252,7 +284,7 @@ class DELutTPU:
 
         def chk_update(v2c):
             # incremental min-LUT CN DE over ascending degrees
-            n = K // 2
+            n = v2c.shape[1] // 2
             a_p = v2c[:, n:] + v2c[:, :n][:, ::-1]
             a_m = v2c[:, n:] - v2c[:, :n][:, ::-1]
             c_p, c_m = a_p, a_m
@@ -273,13 +305,12 @@ class DELutTPU:
             return (pb[:, :, None] * pa[:, None, :]).reshape(pa.shape[0], -1)
 
         def pe_of(v2c):
-            return jnp.sum(v2c[:, : K // 2], axis=1)
+            return jnp.sum(v2c[:, : v2c.shape[1] // 2], axis=1)
 
         return chk_update, join, pe_of
 
     # -- evolve program ---------------------------------------------------
     def _build_evolve(self):
-        K = self.Nq_Msg
         Pe_max = self.Pe_max
         max_ni = self.max_ni_de_iters
         maxiter = self.maxiter_de
@@ -287,12 +318,14 @@ class DELutTPU:
         strategy = self.strategy
         lam = [float(x) for x in self.ens.lam]
         chk_update, join, pe_of = self._core()
+        nqv = self.Nq_Msg_vec
 
-        def run_tree(sched, msg, cha):
+        def run_tree(sched, msg, cha, K_in):
             """Post-order evaluation: each internal node's product pmf is
-            MI-quantized before feeding its parent (host: tree_update with
-            var_update at every node).  Returns the ROOT's product pmf
-            (its quantization is the strategy's job)."""
+            MI-quantized to the INCOMING resolution before feeding its
+            parent (host: set_resolution(nq[ii], nq[ii+1], _),
+            de.py:265).  Returns the ROOT's product pmf (its quantization
+            is the strategy's job)."""
             outs = []
             for i, (a, b) in enumerate(sched):
                 if b is None:  # degree-1 VN: root over the channel leaf
@@ -303,36 +336,23 @@ class DELutTPU:
                 prod = join(pa, pb)
                 if i == len(sched) - 1:
                     return prod
-                q = self._quantize(prod, K)
+                q = self._quantize(prod, K_in)
                 outs.append(q / jnp.sum(q, axis=1, keepdims=True))
             return outs[-1]  # degree-1 pass-through root
 
-        def var_update(c2v, cha):
-            root_prods = [run_tree(s, c2v, cha) for s in schedules]
-            if strategy == INDIVIDUAL or len(schedules) == 1:
-                out = 0.0
-                for wgt, prod in zip(lam, root_prods):
-                    if prod.shape[1] > K:
-                        prod = self._quantize(prod, K)
-                    q = prod / jnp.sum(prod, axis=1, keepdims=True)
-                    out = out + wgt * q
-                return out
-            return joint_root(root_prods, lam)
-
-        def joint_root(root_prods, weights):
-            # de.level_lut_tree_update over the root nodes: concatenate the
-            # weighted half-pmfs symmetrically, one DP, per-origin interval
-            # sums rebuild each degree's output pmf
-            L = len(root_prods)
-            Sb = root_prods[0].shape[0]
-            halves = [p.shape[1] // 2 for p in root_prods]
+        def joint_nodes(prods, node_w, K):
+            """de.level_lut_tree_update as batched tensor math: concatenate
+            the weighted half-pmfs of all nodes symmetrically, one DP at
+            resolution K, per-origin interval sums rebuild each node's
+            output pmf (normalized).  Returns one (S, K) pmf per node."""
             low_w, low_u, up_w, up_u, org = [], [], [], [], []
-            for ll, (p, M2) in enumerate(zip(root_prods, halves)):
-                w = weights[ll]
-                low_w.append(w * p[:, :M2])
-                low_u.append(p[:, :M2])
-                up_w.append(w * p[:, M2:])
-                up_u.append(p[:, M2:])
+            for ll, prm in enumerate(prods):
+                M2 = prm.shape[1] // 2
+                w = node_w[ll]
+                low_w.append(w * prm[:, :M2])
+                low_u.append(prm[:, :M2])
+                up_w.append(w * prm[:, M2:])
+                up_u.append(prm[:, M2:])
                 org.append(np.full(M2, ll, np.int32))
             overall = jnp.concatenate(
                 low_w + [u for u in reversed(up_w)], axis=1)
@@ -351,17 +371,78 @@ class DELutTPU:
 
             astar = self._design(ow, K)
             Ht = ow.shape[1] // 2
-            out = 0.0
-            for ll, wgt in enumerate(weights):
+            outs = []
+            for ll in range(len(prods)):
                 m_up = jnp.where(oo[:, Ht:] == ll, ou[:, Ht:], 0.0)
                 m_lo = jnp.where(oo[:, :Ht][:, ::-1] == ll,
                                  ou[:, :Ht][:, ::-1], 0.0)
                 up = self._interval_sums(m_up, astar)
                 lo = self._interval_sums(m_lo, astar)
                 q = jnp.concatenate([lo[:, ::-1], up], axis=1)
-                q = q / jnp.sum(q, axis=1, keepdims=True)
+                outs.append(q / jnp.sum(q, axis=1, keepdims=True))
+            return outs
+
+        def mix_individual(root_prods, weights, K_out):
+            out = 0.0
+            for wgt, prod in zip(weights, root_prods):
+                if prod.shape[1] != K_out:
+                    prod = self._quantize(prod, K_out)
+                q = prod / jnp.sum(prod, axis=1, keepdims=True)
                 out = out + wgt * q
             return out
+
+        def joint_level_update(scheds, levels, leaves, weights, joinf,
+                               leaf_of, K_in, K_out):
+            """One shared quantizer per tree LEVEL across degrees
+            (de.joint_level_irr_lut_design): bottom-up over levels, each
+            level's node product pmfs run ONE DP with host weighting
+            (per-tree leaf fractions x degree mass)."""
+            outs = [dict() for _ in scheds]
+
+            def resolve(t, src):
+                return leaf_of(src) if isinstance(src, str) else outs[t][src]
+
+            maxlev = max((max(lv) if lv else 0) for lv in levels)
+            for lev in range(maxlev, -1, -1):
+                group, prods, ws = [], [], []
+                for t, (sched, lvs, lfs) in enumerate(
+                        zip(scheds, levels, leaves)):
+                    idxs = [i for i in range(len(sched))
+                            if lvs[i] == lev and sched[i][1] is not None]
+                    tot = float(sum(lfs[i] for i in idxs)) or 1.0
+                    for i in idxs:
+                        a, b = sched[i]
+                        prods.append(joinf(resolve(t, a), resolve(t, b)))
+                        ws.append(weights[t] * lfs[i] / tot)
+                        group.append((t, i))
+                if not group:
+                    continue
+                qs = joint_nodes(prods, ws, K_out if lev == 0 else K_in)
+                for (t, i), q in zip(group, qs):
+                    outs[t][i] = q
+            out = 0.0
+            for t, sched in enumerate(scheds):
+                ri = len(sched) - 1
+                if sched[ri][1] is None:  # pass-through (degree-1)
+                    q = resolve(t, sched[ri][0])
+                    if q.shape[1] != K_out:
+                        q = self._quantize(q, K_out)
+                        q = q / jnp.sum(q, axis=1, keepdims=True)
+                else:
+                    q = outs[t][ri]
+                out = out + weights[t] * q
+            return out
+
+        def var_update(c2v, cha, K_in, K_out):
+            if strategy == JOINT_LEVEL and len(schedules) > 1:
+                return joint_level_update(
+                    schedules, self._sched_levels, self._sched_leaves, lam,
+                    join, lambda s: c2v if s == "msg" else cha, K_in, K_out)
+            root_prods = [run_tree(s, c2v, cha, K_in) for s in schedules]
+            if strategy == INDIVIDUAL or len(schedules) == 1:
+                return mix_individual(root_prods, lam, K_out)
+            return mix_individual(
+                joint_nodes(root_prods, lam, K_out), lam, K_out)
 
         # full-LUT CN: trees of parity/magnitude folds (get_chk_product_pmf,
         # common.cpp:41-70) with MI quantization per node
@@ -388,7 +469,7 @@ class DELutTPU:
                 out = jnp.zeros((Sb, 2 * (Ka // 2) * (Kb // 2)), prod0.dtype)
                 return out.at[:, fold].add(prod0)
 
-            def chk_run_tree(sched, msg):
+            def chk_run_tree(sched, msg, K_in):
                 outs = []
                 for i, (a, b) in enumerate(sched):
                     pa = msg if a == "msg" else outs[a]
@@ -396,53 +477,139 @@ class DELutTPU:
                     prod = chk_join(pa, pb)
                     if i == len(sched) - 1:
                         return prod
-                    q = self._quantize(prod, K)
+                    q = self._quantize(prod, K_in)
                     outs.append(q / jnp.sum(q, axis=1, keepdims=True))
                 raise AssertionError("empty chk schedule")
 
-            def chk_update_full(v2c):
-                root_prods = [chk_run_tree(s, v2c) for s in chk_schedules]
+            def chk_update_full(v2c, K_in):
+                # host CN resolution per iteration: set_resolution(nq[ii],
+                # nq[ii], _) (de.py:222) — in and out both K_in
+                if strategy == JOINT_LEVEL and len(chk_schedules) > 1:
+                    return joint_level_update(
+                        chk_schedules, self._chk_levels, self._chk_leaves,
+                        rho, chk_join, lambda s: v2c, K_in, K_in)
+                root_prods = [chk_run_tree(s, v2c, K_in)
+                              for s in chk_schedules]
                 if strategy == INDIVIDUAL or len(chk_schedules) == 1:
-                    out = 0.0
-                    for wgt, prod in zip(rho, root_prods):
-                        q = self._quantize(prod, K)
-                        q = q / jnp.sum(q, axis=1, keepdims=True)
-                        out = out + wgt * q
-                    return out
-                return joint_root(root_prods, rho)
+                    return mix_individual(root_prods, rho, K_in)
+                return mix_individual(
+                    joint_nodes(root_prods, rho, K_in), rho, K_in)
 
-            chk_update = chk_update_full
+            chk_of = chk_update_full
+        else:
+            chk_of = lambda v2c, K_in: chk_update(v2c)
+
+        def step(v2c, cha, K_in, K_out):
+            c2v = chk_of(v2c, K_in)
+            return var_update(c2v, cha, K_in, K_out)
+
+        if self.uniform_nq:
+            K = self.Nq_Msg
+
+            def evolve(v2c0, cha):
+                Sb = v2c0.shape[0]
+
+                def cond(carry):
+                    it, _, done, _, _ = carry
+                    return (it < maxiter) & ~done.all()
+
+                def body(carry):
+                    it, v2c, done, Pe_old, ni = carry
+                    v2c_new = step(v2c, cha, K, K)
+                    Pe = pe_of(v2c_new)
+                    conv = Pe < Pe_max
+                    # host counts only STRICTLY worse iterations (de.py:
+                    # Pe <= Pe_old is improving); de_bp's host differs
+                    worse = Pe > Pe_old
+                    ni = jnp.where(~done & worse, ni + 1, ni)
+                    fail = ni >= max_ni
+                    done_new = done | conv | fail
+                    v2c = jnp.where(done[:, None], v2c, v2c_new)
+                    Pe_old = jnp.where(done | worse, Pe_old, Pe)
+                    return it + 1, v2c, done_new, Pe_old, ni
+
+                done0 = jnp.zeros((Sb,), bool)
+                Pe0 = jnp.ones((Sb,), jnp.float32)
+                ni0 = jnp.zeros((Sb,), jnp.int32)
+                it, v2c, done, _, ni = jax.lax.while_loop(
+                    cond, body, (0, v2c0, done0, Pe0, ni0))
+                Pe = pe_of(v2c)
+                return Pe < Pe_max, Pe, it
+
+            return evolve
+
+        # -- segmented evolve: non-uniform per-iteration resolutions ------
+        # nqv[ii] is the width of v2c ENTERING iteration ii; runs of equal
+        # consecutive widths execute as one while_loop, the boundary
+        # iteration (output width nqv[ii+1] != nqv[ii]) as a single traced
+        # step.  Converged/failed points latch Pe instead of freezing the
+        # (width-changing) pmf carry — decision-identical.
+        runs = []
+        s0 = 0
+        for ii in range(1, maxiter + 1):
+            if ii == maxiter or nqv[ii] != nqv[s0]:
+                runs.append((s0, ii, int(nqv[s0])))
+                s0 = ii
 
         def evolve(v2c0, cha):
             Sb = v2c0.shape[0]
+            done = jnp.zeros((Sb,), bool)
+            conv_l = jnp.zeros((Sb,), bool)
+            Pe_l = jnp.full((Sb,), jnp.inf, jnp.float32)
+            Pe_old = jnp.ones((Sb,), jnp.float32)
+            ni = jnp.zeros((Sb,), jnp.int32)
+            it_l = jnp.full((Sb,), maxiter, jnp.int32)
+            v2c = v2c0
 
-            def cond(carry):
-                it, _, done, _, _ = carry
-                return (it < maxiter) & ~done.all()
-
-            def body(carry):
-                it, v2c, done, Pe_old, ni = carry
-                c2v = chk_update(v2c)
-                v2c_new = var_update(c2v, cha)
+            def account(state, v2c_new, it):
+                done, conv_l, Pe_l, Pe_old, ni, it_l = state
                 Pe = pe_of(v2c_new)
                 conv = Pe < Pe_max
-                # host counts only STRICTLY worse iterations (de.py: Pe <=
-                # Pe_old is improving); de_bp's host differs (Pe < Pe_old)
                 worse = Pe > Pe_old
                 ni = jnp.where(~done & worse, ni + 1, ni)
                 fail = ni >= max_ni
-                done_new = done | conv | fail
-                v2c = jnp.where(done[:, None], v2c, v2c_new)
+                newly = ~done & (conv | fail)
+                conv_l = jnp.where(newly & conv, True, conv_l)
+                Pe_l = jnp.where(newly, Pe, Pe_l)
+                it_l = jnp.where(newly, it + 1, it_l)
+                done = done | conv | fail
                 Pe_old = jnp.where(done | worse, Pe_old, Pe)
-                return it + 1, v2c, done_new, Pe_old, ni
+                return (done, conv_l, Pe_l, Pe_old, ni, it_l), Pe
 
-            done0 = jnp.zeros((Sb,), bool)
-            Pe0 = jnp.ones((Sb,), jnp.float32)
-            ni0 = jnp.zeros((Sb,), jnp.int32)
-            it, v2c, done, _, ni = jax.lax.while_loop(
-                cond, body, (0, v2c0, done0, Pe0, ni0))
-            Pe = pe_of(v2c)
-            return Pe < Pe_max, Pe, it
+            for (lo_it, hi_it, K_in) in runs:
+                K_next = int(nqv[hi_it]) if hi_it < maxiter else K_in
+                n_inner = (hi_it - lo_it) if K_next == K_in else (
+                    hi_it - lo_it - 1)
+                if n_inner > 0:
+                    def cond(carry):
+                        it = carry[0]
+                        return (it < lo_it + n_inner) & ~carry[1][0].all()
+
+                    def body(carry):
+                        it, state, v2c = carry
+                        v2c_new = step(v2c, cha, K_in, K_in)
+                        state, _ = account(state, v2c_new, it)
+                        # no freeze: converged points latch Pe/it above
+                        # and the free-running pmf is never read again
+                        return it + 1, state, v2c_new
+
+                    _, state, v2c = jax.lax.while_loop(
+                        cond, body,
+                        (lo_it, (done, conv_l, Pe_l, Pe_old, ni, it_l),
+                         v2c))
+                    done, conv_l, Pe_l, Pe_old, ni, it_l = state
+                if K_next != K_in:
+                    # boundary iteration: output width changes
+                    v2c_new = step(v2c, cha, K_in, K_next)
+                    state, _ = account(
+                        (done, conv_l, Pe_l, Pe_old, ni, it_l), v2c_new,
+                        hi_it - 1)
+                    done, conv_l, Pe_l, Pe_old, ni, it_l = state
+                    v2c = v2c_new
+
+            Pe_fin = jnp.where(done, Pe_l, pe_of(v2c))
+            ach = jnp.where(done, conv_l, Pe_fin < Pe_max)
+            return ach, Pe_fin, jnp.max(it_l)
 
         return evolve
 
@@ -615,6 +782,9 @@ class DELutTPU:
         if not self.min_lut:
             raise NotImplementedError(
                 "reuse pre-ranking covers min-LUT mode only")
+        if not self.uniform_nq:
+            raise NotImplementedError(
+                "reuse pre-ranking needs a uniform message resolution")
         reuse_mat = np.asarray(reuse_mat, dtype=bool)
         if reuse_mat.ndim != 2 or reuse_mat.shape[1] != self.maxiter_de:
             raise ValueError("reuse_mat must be (num_candidates, maxiter_de)")

@@ -213,3 +213,69 @@ def test_irregular_threshold_published():
     tpu = DELutTPU(ens, maxiter_de=2000, Pe_max=1e-6, max_ni_de_iters=30)
     thr = tpu.threshold(points=9, rounds=3)
     assert abs(thr - 0.929193) < 2e-3, thr
+
+
+def test_joint_level_matches_host():
+    """joint_level strategy: converged/diverged decisions bracket the
+    host f64 engine away from the threshold (same contract as the
+    existing joint_root tests)."""
+    import numpy as np
+
+    from lut_ldpc_tpu.core.ensemble import LDPCEnsemble
+    from lut_ldpc_tpu.design.de import DELut, JOINT_LEVEL
+    from lut_ldpc_tpu.design.de_lut_tpu import DELutTPU
+    from lut_ldpc_tpu.design.templates import get_lut_tree_templates
+
+    ens = LDPCEnsemble(np.array([2, 3, 4]),
+                       np.array([0.38354, 0.04237, 0.57409]),
+                       np.array([5, 6]), np.array([0.24123, 0.75877]))
+    M = 60
+    tv, tc = get_lut_tree_templates(
+        "auto_bin_balanced", ens, np.full(M, 16), 16, min_lut=True)
+    host = DELut(ens, 16, np.full(M, 16), M, tv, tc,
+                 irregular_design_strategy=JOINT_LEVEL)
+    host.Pe_max = 1e-6
+    host.max_ni_de_iters = 30
+    tpu = DELutTPU(ens, 16, 16, maxiter_de=M, Pe_max=1e-6,
+                   max_ni_de_iters=30, strategy=JOINT_LEVEL)
+    # far from the threshold (~0.777 host / ~0.80 f32 explorer: the f32
+    # explorer sits a little above the f64 host on this ensemble for
+    # BOTH joint strategies) the decisions must agree
+    sigmas = np.array([0.70, 0.95, 1.10])
+    ach, Pe = tpu.evolve_batch(sigmas)
+    for s, a in zip(sigmas, ach):
+        code, *_ = host.evolve(float(s))
+        assert (code > 0) == bool(a), (s, code, a)
+    # and the explorer's bracket must cover the host threshold within
+    # the de_sim margin (host 0.77727 at thr_prec 1e-4, pinned)
+    thr = tpu.threshold(points=17, rounds=2)
+    assert 0.77727 - 1e-3 < thr < 0.77727 + 0.05, thr
+
+
+def test_nonuniform_nq_vec_matches_host():
+    """Vector per-iteration resolutions (segmented evolve): decisions
+    match the host with the same Nq_Msg_vec away from its threshold."""
+    import numpy as np
+
+    from lut_ldpc_tpu.core.ensemble import LDPCEnsemble
+    from lut_ldpc_tpu.design.de import DELut
+    from lut_ldpc_tpu.design.de_lut_tpu import DELutTPU
+    from lut_ldpc_tpu.design.templates import get_lut_tree_templates
+
+    ens = LDPCEnsemble(np.array([3]), np.array([1.0]),
+                       np.array([6]), np.array([1.0]))
+    M = 40
+    nqv = np.array([16] * 20 + [8] * 20)
+    tv, tc = get_lut_tree_templates(
+        "auto_bin_balanced", ens, nqv, 16, min_lut=True)
+    host = DELut(ens, 16, nqv, M, tv, tc)
+    host.Pe_max = 1e-6
+    host.max_ni_de_iters = 30
+    tpu = DELutTPU(ens, 16, nqv, maxiter_de=M, Pe_max=1e-6,
+                   max_ni_de_iters=30)
+    assert not tpu.uniform_nq
+    sigmas = np.array([0.70, 0.78, 0.90, 0.95])
+    ach, Pe = tpu.evolve_batch(sigmas)
+    for s, a in zip(sigmas, ach):
+        code, *_ = host.evolve(float(s))
+        assert (code > 0) == bool(a), (s, code, a)
