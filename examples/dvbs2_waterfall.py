@@ -22,13 +22,16 @@ Two codes, three runs:
    reference cannot do this at all — its tree generators assert
    num_leaves >= 2 while this matrix has a degree-1 accumulator tail).
    Density evolution puts the profile's lambda_2 = 0.2857 far above the
-   min-LUT stability limit lambda_2* ~ 0.167 at every relevant sigma
-   (design/de.py get_lam2stable_lut), i.e. the DVB-S2 profile is
-   *fundamentally* stability-limited under finite-alphabet min-LUT
-   decoding; its 50-iteration q4 threshold is sigma* = 0.684 (3.3 dB).
-   The run therefore sweeps the stability-informed 3..4.5 dB window and
-   exists to document that physics with measurements, not to compete
-   with run 2.
+   min-LUT stability limit lambda_2* ~ 0.167 (get_lam2stable_lut), so
+   the strict-Pe_max DE threshold is pessimistic (sigma* = 0.684,
+   3.3 dB: DE retains a tiny nonzero Pe fixed point at every sigma).
+   The MEASURED finite-length behavior is far better: the 0.8-3.0 dB
+   sweep (>=10k real frames per point, skipping disabled) shows a sharp
+   cliff at 1.6-1.8 dB — ~0.8 dB from the float-SPA baseline's cliff on
+   the same matrix — and bounds the stability floor below FER 4.9e-5 /
+   BER 1.5e-9 at 1.8-3.0 dB (zero errors in 20480 frames per point).
+   The stored artifact carries the lambda_2 numbers alongside the
+   curve.
 
   python examples/dvbs2_waterfall.py [--run lut64800|dvbs2_spa|dvbs2_lut]
          [--frames 100000] [--out docs/waterfall]
@@ -54,13 +57,13 @@ os.environ.setdefault("LUT_DECODE_MEM_BUDGET", str(6 << 30))
 
 
 def run_one(tag, graph, snr, frames, batch, out_dir, codec=None, bp=None,
-            nfers=200):
+            nfers=200, ber_min=1e-8, fer_min=1e-10):
     from lut_ldpc_tpu.sim import BERSim, BERSimConfig, LDPCConfig, SimConfig
 
     cfg = BERSimConfig(
         sim=SimConfig(SNRdB=np.asarray(snr, dtype=np.float64), Nframes=frames,
-                      Nfers=nfers, batch_size=batch, ber_min=1e-8,
-                      fer_min=1e-10, results_dir=out_dir),
+                      Nfers=nfers, batch_size=batch, ber_min=ber_min,
+                      fer_min=fer_min, results_dir=out_dir),
         ldpc=LDPCConfig(zero_codeword=True),
     )
     sim = BERSim(cfg, graph, codec=codec, bp_decoder=bp)
@@ -131,16 +134,30 @@ def main():
     else:
         graph = TannerGraph.from_alist(os.path.join(
             ROOT, "codes", "rate0.50_irreg_dvbs2_N64800.alist"))
-        # the honest evaluation region: the SPA baseline's operating zone
-        # (~1 dB) THROUGH the min-LUT decoder's own stability-limited
-        # cliff (sigma* = 0.684 -> 3.3 dB); every point gets real frames
-        snr = _parse_range(args.snr or "0.8:0.2:4.4")
-        print("designing q4 min-LUT codec on the standard matrix "
-              "(thr 0.67, stability-limited profile)...")
-        codec = LUTCodec.design(graph, 0.67**2, max_iters=50, Nq_Cha=16,
-                                Nq_Msg=16)
+        # the honest evaluation region: from the SPA baseline's operating
+        # zone (~1 dB cliff) through the measured min-LUT cliff
+        # (1.4-1.8 dB) into the floor region (2.0-3.0 dB probed with full
+        # frame budgets; ber_min/fer_min skipping disabled so every point
+        # holds real frames).  The DE threshold with a strict Pe_max is
+        # sigma* = 0.684 (3.3 dB) because the stability-violating
+        # lambda_2 leaves a tiny nonzero Pe fixed point — the measured
+        # curve shows that fixed point is below finite-length resolution.
+        snr = _parse_range(
+            args.snr or "0.8 1.0 1.2 1.4 1.5 1.6 1.7 1.8 2.0 2.5 3.0")
+        cache = os.path.join(args.out, "dvbs2_N64800_lut_q4_codec.npz")
+        if os.path.exists(cache):
+            print("loading cached codec ...")
+            codec = LUTCodec.load(cache)
+        else:
+            print("designing q4 min-LUT codec on the standard matrix "
+                  "(thr 0.67, stability-limited profile)...")
+            codec = LUTCodec.design(graph, 0.67**2, max_iters=50, Nq_Cha=16,
+                                    Nq_Msg=16)
+            codec.save(cache)
         payload = run_one("dvbs2_N64800_lut_q4", graph, snr, args.frames,
-                          args.batch, args.out, codec=codec)
+                          args.batch, args.out, codec=codec,
+                          nfers=max(10000, args.frames // 2),
+                          ber_min=0.0, fer_min=0.0)
         # append the stability analysis that explains the curve: the
         # profile's degree-2 edge mass vs the q4 min-LUT stable limit
         # (design/de.py get_lam2stable_lut; reference LDPC_DE.cpp:1575)
