@@ -762,11 +762,15 @@ class ArithLUTDecoder:
             for ci_, nbase, src_, dst_ in qcp.vn_cols:
                 for b in dst_:
                     node_of_base[b] = nbase
-            vn_planes = sorted(vn_pl.items())  # (std_base, plane_idx)
+            # (std_base, plane_idx): std-base order for the std-layout
+            # direction, plane order for the kernel-layout concatenation
+            # (producer-major numbering != sorted-base order)
+            vn_planes = sorted(vn_pl.items())
+            vn_planes_k = sorted(vn_pl.items(), key=lambda kv: kv[1])
 
             def vn_to_kernel(v):  # per-node (nvp, B) -> halo planes
                 parts = []
-                for b, p in vn_planes:
+                for b, p in vn_planes_k:
                     nb_ = node_of_base[b]
                     parts.append(v[nb_ : nb_ + Z])
                     h = geom.halo_vn

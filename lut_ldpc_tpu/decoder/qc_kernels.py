@@ -20,11 +20,14 @@ bandwidth-bound):
   (block, slot) Z-row segment of the slot-major grouped edge array of
   fast_layout.GroupedLayout) is stored with H extra tail rows duplicating
   its first H rows.  Any rolled window read then is ONE contiguous
-  static-size DMA at a dynamic 8-aligned offset; the producing pass
-  re-writes the halo rows (one extra DMA per slot on the subtiles that
-  cover rows [0, H)).  ``plane_index``/``std_to_kernel_rows`` define the
-  mapping; callers convert at decode entry/exit with static slice+concat
-  lists (stream-bandwidth copies, not gathers).
+  static-size DMA at a dynamic 8-aligned offset (Mosaic hard-requires
+  sublane-tile-aligned HBM slice offsets, so exact-offset reads are not
+  an option).  Planes are numbered PRODUCER-major (plane_index), so a
+  step's whole writeback — d slots' main windows, and the halo mirror on
+  low subtiles — is ONE 3-D (d, NT, B) DMA each into the
+  (n_planes, Z + H, B) output.  ``plane_index``/``std_to_kernel_rows``
+  define the mapping; callers convert at decode entry/exit with static
+  slice+concat lists (stream-bandwidth copies, not gathers).
 - The grid is (rows, z-subtiles); all step-dependent DMA parameters
   (plane bases, shifts) come from SMEM tables indexed by the row id plus
   scalar arithmetic, so the kernel body is O(#degree-classes) static
@@ -38,7 +41,13 @@ bandwidth-bound):
   window rows.
 - Double buffering: step st issues step st+1's input windows before
   waiting on its own, and output DMAs drain two steps later, so HBM
-  reads/writes overlap compute.
+  reads/writes overlap compute.  Compute is unrolled over the STATIC
+  buffer parity (and per degree class): dynamic scratch indices inside
+  the select-chain tree cost ~2x VPU throughput (and a 100x+ cliff at
+  large tiles), measured on v5e.
+- NT targets ~200k elements per tile (pick_nt): the VN tree's f32
+  temporaries must stay register/VMEM-local through the chain; the fused
+  N=10000/B=8192 pass measures 8.1 ms/iter at NT=24 vs 13.5 at NT=56.
 - The z-subtile size NT is free (no Z-divisibility): the last subtile is
   clamped to z0 = Z - NT and recomputes up to NT-8 overlap rows with
   identical values (frames are independent, outputs idempotent).
@@ -71,6 +80,7 @@ decoder-equivalence suites.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -109,14 +119,28 @@ def qc_kernels_supported() -> bool:
         return False
 
 
+_NT_TARGET_ELEMS = 24 * 8192
+
+
 def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
             budget: int = 80 << 20) -> int:
-    """Largest z-subtile NT (multiple of 8, <= Z) fitting the VMEM budget:
-    double-buffered in/out windows + f32 compute temps (rolled messages,
-    two shared LOO sweeps ~2*nslots arrays, channel/working set)."""
+    """z-subtile size NT (multiple of 8, <= Z).
+
+    Measured optimum on v5e is COMPUTE-BOUND, not VMEM-bound: the VN
+    select-chain tree wants small tiles whose f32 temporaries stay close
+    to the compute units — at B=8192 the fused pass runs 8.1 ms/iter at
+    NT=24 vs 13.5 at NT=56 (the old VMEM-budget heuristic's choice) and
+    9.2 at NT=8 (per-step DMA-issue overhead).  NT therefore targets a
+    constant ~200k elements per tile, clamped to the VMEM budget for
+    narrow batches and to [8, Z].  LUT_QC_NT overrides for profiling
+    (examples/profile_qc_kernels.py scans)."""
+    force = os.environ.get("LUT_QC_NT")
+    if force:
+        return min(Z, max(8, int(force) // 8 * 8))
     per_row = ((4 * nslots + 6) * itemsize + (3 * nslots + 8) * 4) * B
-    nt = min(Z, max(8, budget // per_row // 8 * 8))
-    return nt
+    nt_budget = budget // per_row // 8 * 8
+    nt_elems = _NT_TARGET_ELEMS // B // 8 * 8
+    return min(Z, max(8, min(nt_budget, nt_elems)))
 
 
 @dataclass(frozen=True)
@@ -192,10 +216,15 @@ def kernel_op_keys(op_flags):
     (thr, levels, tie_lo, tie_hi): sym ops ride magnitude params, and
     delta-validated ops (kdelta) ride [lev0, dlev...] in the levels
     slot.  Shared by the decoder and the profiling scripts."""
+    # kdelta (masked-add emission) measured SLOWER than the select chain
+    # on v5e once NT is tuned (9.9 vs 8.1 ms/iter at B=8192/NT=24): the
+    # extra adds outweigh the broken dependence chain.  Off by default;
+    # LUT_QC_KDELTA=1 re-enables for A/B profiling.
+    use_kd = bool(os.environ.get("LUT_QC_KDELTA"))
     return [
         [
             (("sthr" if f["sym"] else "thr"),
-             ("kdelta" if f.get("kdelta") else
+             ("kdelta" if (f.get("kdelta") and use_kd) else
               ("smag" if f["sym"] else "levels")),
              "tie_lo", "tie_hi")
             for f in flags
@@ -210,9 +239,16 @@ def plane_index(plan):
     base row in the STANDARD grouped layout (fast_layout; bases appear in
     both the src and dst views of the plan) to its plane index.  The
     standard layout may pad between planes (align), so kernel row ==
-    plane_idx * (Z + halo) + z, NOT a reshape of the standard rows."""
-    vn_bases = sorted({b for _, _, _, dst in plan.vn_cols for b in dst})
-    cn_bases = sorted({b for _, _, dst in plan.cn_rows for b in dst})
+    plane_idx * (Z + halo) + z, NOT a reshape of the standard rows.
+
+    Numbering is PRODUCER-MAJOR: the d planes a grid step writes (the
+    VN pass's vn_cols[j].dst, the CN pass's cn_rows[i].dst, in slot
+    order) get consecutive indices, so each step's whole writeback —
+    main window and halo mirror — is ONE 3-D DMA (d, NT, B) into the
+    (n_planes, Z + halo, B) view instead of d separate descriptors.
+    Consumers read single planes at dynamic offsets either way."""
+    vn_bases = [b for _, _, _, dst in plan.vn_cols for b in dst]
+    cn_bases = [b for _, src, dst in plan.cn_rows for b in dst]
     return ({b: i for i, b in enumerate(vn_bases)},
             {b: i for i, b in enumerate(cn_bases)})
 
@@ -322,45 +358,45 @@ class _Chor:
         return w if cdt is None else w.astype(cdt)
 
     # -- outputs -----------------------------------------------------------
-    def out_dmas(self, o_ref, scr_out, sem_out, sem_halo, out8, row, zt,
+    def out_dmas(self, o_ref, scr_out, sem_out, sem_halo, outp, row, zt,
                  buf, d):
-        """Main + halo-mirror output DMA descriptors for (row, zt)."""
+        """Main + halo-mirror output DMA descriptors for (row, zt).
+
+        Producer-major plane numbering (plane_index) makes the step's d
+        output planes consecutive, so the whole writeback is ONE 3-D
+        (d, NT, B) DMA into the (n_planes, stride, B) output view (and
+        one more for the halo mirror) instead of d descriptors each —
+        the DMA-issue scalar work per step drops ~3x."""
         NT = self.NT
         z0 = self.z0_of(zt)
-        main, halo = [], []
-        for k in range(d):
-            dst = pl.multiple_of(out8[row, k] * 8, 8) + z0
-            main.append(pltpu.make_async_copy(
-                scr_out.at[buf, k], o_ref.at[pl.ds(dst, NT)],
-                sem_out.at[buf, k]))
-            halo.append(pltpu.make_async_copy(
-                scr_out.at[buf, k],
-                o_ref.at[pl.ds(dst + self.Z, NT)], sem_halo.at[buf, k]))
+        p0 = outp[row]
+        src = scr_out.at[buf, pl.ds(0, d)]
+        main = pltpu.make_async_copy(
+            src, o_ref.at[pl.ds(p0, d), pl.ds(z0, NT)], sem_out.at[buf])
+        halo = pltpu.make_async_copy(
+            src, o_ref.at[pl.ds(p0, d), pl.ds(self.Z + z0, NT)],
+            sem_halo.at[buf])
         return main, halo
 
-    def start_out(self, o_ref, scr_out, sem_out, sem_halo, out8, row, zt,
+    def start_out(self, o_ref, scr_out, sem_out, sem_halo, outp, row, zt,
                   buf, d):
-        main, halo = self.out_dmas(o_ref, scr_out, sem_out, sem_halo, out8,
+        main, halo = self.out_dmas(o_ref, scr_out, sem_out, sem_halo, outp,
                                    row, zt, buf, d)
-        for dma in main:
-            dma.start()
+        main.start()
         if self.halo_need > 0:
             @pl.when(self.z0_of(zt) < self.halo_need)
             def _():
-                for dma in halo:
-                    dma.start()
+                halo.start()
 
-    def drain_out(self, o_ref, scr_out, sem_out, sem_halo, out8, row, zt,
+    def drain_out(self, o_ref, scr_out, sem_out, sem_halo, outp, row, zt,
                   buf, d):
-        main, halo = self.out_dmas(o_ref, scr_out, sem_out, sem_halo, out8,
+        main, halo = self.out_dmas(o_ref, scr_out, sem_out, sem_halo, outp,
                                    row, zt, buf, d)
-        for dma in main:
-            dma.wait()
+        main.wait()
         if self.halo_need > 0:
             @pl.when(self.z0_of(zt) < self.halo_need)
             def _():
-                for dma in halo:
-                    dma.wait()
+                halo.wait()
 
 
 def _for_class(ranges_d, row, body):
@@ -376,7 +412,7 @@ def _for_class(ranges_d, row, body):
 # ---------------------------------------------------------------------------
 
 
-def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_al,
+def _cn_qc_kernel(base8, sp, outp, m_ref, o_ref, synd_ref, scr_in, scr_al,
                   scr_out, sem_in, sem_out, sem_halo, *, chor, out_dtype):
     ch = chor
     i = pl.program_id(0)
@@ -410,7 +446,7 @@ def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_al,
         rp, ztp = ch.rowzt(st - 2)
         _for_class(ch.ranges_d, rp,
                    lambda d: ch.drain_out(o_ref, scr_out, sem_out, sem_halo,
-                                          out8, rp, ztp, buf, d))
+                                          outp, rp, ztp, buf, d))
 
     # two-min + parity over slots (f32 compute, exact on int16 values);
     # one static branch per degree class
@@ -419,9 +455,9 @@ def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_al,
     cdt = jnp.float32
     INF = jnp.asarray(np.inf, cdt)
 
-    def compute(d):
-        ch.realign(scr_in, scr_al, sp, i, buf, d)
-        x = [ch.window(scr_in, scr_al, buf, k, cdt) for k in range(d)]
+    def compute(d, bufc):
+        ch.realign(scr_in, scr_al, sp, i, bufc, d)
+        x = [ch.window(scr_in, scr_al, bufc, k, cdt) for k in range(d)]
         neg_par = x[0] < 0
         min1, min2 = jnp.abs(x[0]), jnp.full((NT, B), INF, cdt)
         for k in range(1, d):
@@ -436,31 +472,36 @@ def _cn_qc_kernel(base8, sp, out8, m_ref, o_ref, synd_ref, scr_in, scr_al,
             # (value-identical to chk_update_minsum)
             tmp = jnp.where(jnp.abs(x[k]) == min1, min2, min1)
             flip = neg_par ^ (x[k] < 0)
-            scr_out[buf, k] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
+            scr_out[bufc, k] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
         # per-tile syndrome indicator of the INPUT signs
         synd_ref[...] = jnp.broadcast_to(
             jnp.min((~neg_par).astype(jnp.int32), axis=0, keepdims=True),
             (8, B),
         ).astype(jnp.int8)
 
-    _for_class(ch.ranges_d, i, compute)
+    # static buffer parity (see the VN kernel note)
+    for lo_r, hi_r, d_r in ch.ranges_d:
+        for bufc in range(2):
+            @pl.when(_in_class(i, lo_r, hi_r) & (buf == bufc))
+            def _(d_r=d_r, bufc=bufc):
+                compute(d_r, bufc)
 
     # issue this step's writeback; it drains two steps later, or in the
     # final-step epilogue here
     _for_class(ch.ranges_d, i,
                lambda d: ch.start_out(o_ref, scr_out, sem_out, sem_halo,
-                                      out8, i, zt, buf, d))
+                                      outp, i, zt, buf, d))
     @pl.when(st == nsteps - 1)
     def _():
         _for_class(ch.ranges_d, i,
                    lambda d: ch.drain_out(o_ref, scr_out, sem_out, sem_halo,
-                                          out8, i, zt, buf, d))
+                                          outp, i, zt, buf, d))
         @pl.when(nsteps >= 2)
         def _():
             rp, ztp = ch.rowzt(st - 1)
             _for_class(ch.ranges_d, rp,
                        lambda d: ch.drain_out(o_ref, scr_out, sem_out,
-                                              sem_halo, out8, rp, ztp,
+                                              sem_halo, outp, rp, ztp,
                                               1 - buf, d))
 
 
@@ -482,7 +523,7 @@ def cn_qc_pass(m_vn, plan, geom: QCGeom):
     nrows = len(plan.cn_rows)
     base8 = np.zeros((nrows, max_dc), np.int64)
     sp = np.zeros((nrows, max_dc), np.int64)
-    out8 = np.zeros((nrows, max_dc), np.int64)
+    outp = np.zeros((nrows,), np.int64)
     class_of = []
     for r, (ci, src, dst) in enumerate(plan.cn_rows):
         class_of.append(ci)
@@ -491,8 +532,9 @@ def cn_qc_pass(m_vn, plan, geom: QCGeom):
             # subtile z0 is lo = (z0 - s) mod Z = (z0 + (Z - s)) mod Z
             base8[r, k] = vn_pl[vbase] * in_stride // 8
             sp[r, k] = (Z - s) % Z
-        for k, cbase in enumerate(dst):
-            out8[r, k] = cn_pl[cbase] * out_stride // 8
+        outp[r] = cn_pl[dst[0]]
+        # producer-major numbering: the row's output planes are contiguous
+        assert all(cn_pl[b] == outp[r] + k for k, b in enumerate(dst))
     ranges = tuple(
         (lo, hi, plan.cn_degrees[ci]) for lo, hi, ci in _class_ranges(class_of)
     )
@@ -504,7 +546,8 @@ def cn_qc_pass(m_vn, plan, geom: QCGeom):
     out, synd = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((geom.rows_cn, B), m_vn.dtype),
+            jax.ShapeDtypeStruct(
+                (geom.n_planes_cn, out_stride, B), m_vn.dtype),
             jax.ShapeDtypeStruct((nrows * nzt * 8, B), jnp.int8),
         ],
         grid=(nrows, nzt),
@@ -524,16 +567,16 @@ def cn_qc_pass(m_vn, plan, geom: QCGeom):
             pltpu.VMEM((max_dc, NT, B), m_vn.dtype),
             pltpu.VMEM((2, max_dc, NT, B), m_vn.dtype),
             pltpu.SemaphoreType.DMA((2, max_dc)),
-            pltpu.SemaphoreType.DMA((2, max_dc)),
-            pltpu.SemaphoreType.DMA((2, max_dc)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=_interpret(),
-    )(_smem_i32(base8), _smem_i32(sp), _smem_i32(out8), m_vn)
+    )(_smem_i32(base8), _smem_i32(sp), _smem_i32(outp), m_vn)
     synd_ok = jnp.min(synd.reshape(-1, 8, B)[:, 0], axis=0) != 0
-    return out, synd_ok
+    return out.reshape(geom.rows_cn, B), synd_ok
 
 
 # ---------------------------------------------------------------------------
@@ -655,7 +698,7 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
     ch = chor
     nclasses = len(ops_by_class)
     nprm = sum(nops_by_class)
-    (base8, sp, out8, node8, m_ref, cha_ref) = refs[:6]
+    (base8, sp, outp, node8, m_ref, cha_ref) = refs[:6]
     prm_flat = refs[6 : 6 + 4 * nprm]
     o_ref, bits_ref, unan_ref = refs[6 + 4 * nprm : 9 + 4 * nprm]
     (scr_in, scr_al, scr_cha, scr_bits, scr_out,
@@ -716,7 +759,7 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
     def drain_step(row, ztc, b):
         _for_class(ch.ranges_d, row,
                    lambda d: ch.drain_out(o_ref, scr_out, sem_out, sem_halo,
-                                          out8, row, ztc, b, d))
+                                          outp, row, ztc, b, d))
         bits_dma(row, ztc, b).wait()
 
     @pl.when(st >= 2)
@@ -724,32 +767,44 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
         rp, ztp = ch.rowzt(st - 2)
         drain_step(rp, ztp, buf)
 
-    # compute: one static branch per degree class
-    def compute(d, c):
-        ch.realign(scr_in, scr_al, sp, j, buf, d)
-        msg = [ch.window(scr_in, scr_al, buf, k, jnp.float32)
+    # compute: one static branch per degree class x buffer parity (the
+    # STATIC buffer index lets Mosaic keep the whole select-chain tree in
+    # registers; a dynamic scratch index here costs ~2x VPU throughput)
+    import os as _os
+    _passthru = bool(_os.environ.get("LUT_QC_VN_PASSTHROUGH"))
+
+    def compute(d, c, bufc):
+        ch.realign(scr_in, scr_al, sp, j, bufc, d)
+        msg = [ch.window(scr_in, scr_al, bufc, k, jnp.float32)
                for k in range(d)]
-        cha = scr_cha[buf].astype(jnp.float32)
+        cha = scr_cha[bufc].astype(jnp.float32)
+        if _passthru:  # timing experiment: skip the threshold trees
+            for k in range(d):
+                scr_out[bufc, k] = msg[k].astype(out_dtype)
+            scr_bits[bufc] = (cha < 0).astype(jnp.int8)
+            unan_ref[...] = jnp.zeros((8, scr_cha.shape[-1]), jnp.int8)
+            return
         neg0, agree = _vn_class_compute(
-            msg, cha, scr_out, buf, d, ops_by_class[c], prm_by_class[c],
+            msg, cha, scr_out, bufc, d, ops_by_class[c], prm_by_class[c],
             use_tot_by_class[c], out_dtype, NT, B,
         )
-        scr_bits[buf] = neg0.astype(jnp.int8)
+        scr_bits[bufc] = neg0.astype(jnp.int8)
         unan_ref[...] = jnp.broadcast_to(
             jnp.min(agree.astype(jnp.int32), axis=0, keepdims=True),
             (8, B),
         ).astype(jnp.int8)
 
     for ci_r, (lo, hi, d) in enumerate(ch.ranges_d):
-        @pl.when(_in_class(j, lo, hi))
-        def _(d=d, ci_r=ci_r):
-            compute(d, ci_r)
+        for bufc in range(2):
+            @pl.when(_in_class(j, lo, hi) & (buf == bufc))
+            def _(d=d, ci_r=ci_r, bufc=bufc):
+                compute(d, ci_r, bufc)
 
     # issue this step's writeback + bits tile; drains happen two steps
     # later, or in the final-step epilogue here
     _for_class(ch.ranges_d, j,
                lambda d: ch.start_out(o_ref, scr_out, sem_out, sem_halo,
-                                      out8, j, zt, buf, d))
+                                      outp, j, zt, buf, d))
     bits_dma(j, zt, buf).start()
     @pl.when(st == nsteps - 1)
     def _():
@@ -785,7 +840,7 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
     nrows = len(plan.vn_cols)
     base8 = np.zeros((nrows, max_dv), np.int64)
     sp = np.zeros((nrows, max_dv), np.int64)
-    out8 = np.zeros((nrows, max_dv), np.int64)
+    outp = np.zeros((nrows,), np.int64)
     node8 = np.zeros((nrows,), np.int64)
     class_of = []
     for r, (ci, nb, src, dst) in enumerate(plan.vn_cols):
@@ -796,8 +851,9 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
             # lo = (z0 + s) mod Z
             base8[r, k] = cn_pl[cbase] * in_stride // 8
             sp[r, k] = s % Z
-        for k, vbase in enumerate(dst):
-            out8[r, k] = vn_pl[vbase] * out_stride // 8
+        outp[r] = vn_pl[dst[0]]
+        # producer-major numbering: the row's output planes are contiguous
+        assert all(vn_pl[b] == outp[r] + k for k, b in enumerate(dst))
     ranges = tuple(
         (lo, hi, plan.vn_degrees[ci]) for lo, hi, ci in _class_ranges(class_of)
     )
@@ -828,7 +884,8 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
             (tuple(int(x) for x in op.operands),
              int(prm_by_class[c][oi]["thr"].shape[-1]),
              bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]),
-             bool(flags[oi].get("kdelta", False)),
+             bool(flags[oi].get("kdelta", False))
+             and bool(os.environ.get("LUT_QC_KDELTA")),
              spans[oi])
             for oi, op in enumerate(struct.ops)
         )
@@ -853,7 +910,8 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
     out, bits, unan = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((geom.rows_vn, B), m_cn.dtype),
+            jax.ShapeDtypeStruct(
+                (geom.n_planes_vn, out_stride, B), m_cn.dtype),
             jax.ShapeDtypeStruct((nvar_pad, B), jnp.int8),
             jax.ShapeDtypeStruct((nrows * nzt * 8, B), jnp.int8),
         ],
@@ -874,16 +932,16 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
             pltpu.SemaphoreType.DMA((2, max_dv)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, max_dv)),
-            pltpu.SemaphoreType.DMA((2, max_dv)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=_interpret(),
-    )(_smem_i32(base8), _smem_i32(sp), _smem_i32(out8), _smem_i32(node8),
+    )(_smem_i32(base8), _smem_i32(sp), _smem_i32(outp), _smem_i32(node8),
       m_cn, cha, *prm_args)
     # bits stay int8 (0/1): casting to uint8 here would add a full
     # (nvar_pad, B) pass per iteration; callers cast once after the loop
-    return (out, bits,
+    return (out.reshape(geom.rows_vn, B), bits,
             unan.reshape(-1, 8, B)[:, 0].min(axis=0) != 0)

@@ -1,0 +1,210 @@
+"""Per-kernel performance regression ledger.
+
+Round 3 shipped a silent 4% headline decay plus a 2.2x compile-time
+regression because nobody compared kernel timings across rounds.  This
+tool makes the comparison mechanical:
+
+  python tools/perf_regress.py record   # measure + append to the ledger
+  python tools/perf_regress.py check    # compare HEAD vs last record
+
+The ledger (docs/perf/kernels.json) stores one entry per invocation:
+git rev, per-config fused kernel ms/iter, headline decode ms, compile
+seconds.  ``check`` exits non-zero when any tracked metric decays more
+than --tol (default 5%) against the best of the last 3 records, so a
+regression fails loudly in CI / the next round's first bench run.
+
+Metrics (all on the real chip; this tool is a no-op off-TPU):
+  n10000_fused_ms    — (3,6) N=10000 q4 fused CN+VN Pallas ms/iter, B=8192
+  n64800_fused_ms    — irregular dv02-17 N=64800 fused ms/iter, B=1024
+  headline_decode_ms — bench.py end-to-end decode ms at B=8192
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(ROOT, "docs", "perf", "kernels.json")
+sys.path.insert(0, ROOT)
+
+
+def _gitrev() -> str:
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT
+        ).decode().strip()
+    except Exception:
+        return "unknown"
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _timeit(fn, *args, reps=3, warmup=2):
+    import jax
+    import numpy as np
+
+    for _ in range(warmup):
+        out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(*args))
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / reps
+
+
+def _fused_ms(graph, design_thr, B, iters=50, scan_len=16):
+    """Fused CN+VN Pallas ms/iter on `graph` (same harness as
+    examples/profile_qc_kernels.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lut_ldpc_tpu.decoder import LUTCodec
+    from lut_ldpc_tpu.decoder.arith import build_arith_prefix_spec, ArithBuildError
+    from lut_ldpc_tpu.decoder.arith_decoder import ArithLUTDecoder
+    from lut_ldpc_tpu.decoder import qc_kernels as qk
+
+    codec = LUTCodec.design(graph, design_thr**2, max_iters=iters,
+                            Nq_Cha=16, Nq_Msg=16)
+    try:
+        spec = build_arith_prefix_spec(codec, dtype=np.int16)
+    except ArithBuildError:
+        spec = build_arith_prefix_spec(codec, dtype=np.float32)
+    dec = ArithLUTDecoder(codec, early_exit=True, spec=spec)
+    qcp, lay = dec._qcp, dec.layout
+    dt = dec._dtype_np
+    geom = qk.qc_geometry(qcp, B, dt.itemsize)
+    rng = np.random.default_rng(0)
+    mv = jnp.asarray(rng.integers(-2000, 2000, (geom.rows_vn, B)).astype(dt))
+    cha = jnp.asarray(
+        rng.integers(-2000, 2000, (lay.nvar_pad, B)).astype(dt))
+    KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
+    op_keys = qk.kernel_op_keys(dec._op_flags)
+    prm_it = [
+        [{ks: jnp.asarray(op[k])[0] for ks, k in zip(KSLOTS, keys)}
+         for op, keys in zip(dec._var_xs[bi], op_keys[bi])]
+        for bi in range(len(dec._var_xs))
+    ]
+    use_tots = [
+        st.ops[0].operands == tuple(range(blk.degree - 1))
+        and blk.degree >= 3 and dec._is_int
+        for st, blk in zip(dec._var_struct, lay.vn_blocks)
+    ]
+
+    def body(m, _):
+        o, s = qk.cn_qc_pass(m, qcp, geom)
+        mvn, bits, unan = qk.vn_qc_pass(
+            o, cha, qcp, geom, lay.nvar_pad, dec._var_struct, prm_it,
+            use_tots, dec._op_flags)
+        return mvn, None
+
+    def run(m):
+        m, _ = jax.lax.scan(body, m, None, length=scan_len)
+        return m[:1, :1]
+
+    t = _timeit(jax.jit(run), mv)
+    return t * 1e3 / scan_len
+
+
+def record() -> dict:
+    from lut_ldpc_tpu.core.qc import load_qc, qc_expand
+
+    entry = {"rev": _gitrev(), "ts": time.time()}
+
+    g1 = qc_expand(load_qc(os.path.join(
+        ROOT, "codes", "rate0.50_dv03_dc06_N10000_qc.qc.json")))
+    entry["n10000_fused_ms"] = round(_fused_ms(g1, 0.85, B=8192), 3)
+
+    g2 = qc_expand(load_qc(os.path.join(
+        ROOT, "codes", "rate0.50_dv02-17_dc08-09_N64800_qc.qc.json")))
+    entry["n64800_fused_ms"] = round(
+        _fused_ms(g2, 0.90, B=1024, scan_len=8), 3)
+
+    # headline end-to-end decode (post-compile), same inputs as bench.py
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_codec
+    from lut_ldpc_tpu.decoder import make_staged_decoder
+    from lut_ldpc_tpu.ops.pmf import snr2sig
+
+    codec = build_codec()
+    dec = make_staged_decoder(codec, early_exit=True)
+    sig = float(snr2sig(0.5, 2.0))
+    rng = np.random.default_rng(0)
+    y = 1.0 + sig * rng.standard_normal((8192, codec.nvar))
+    llr = 2.0 * y / sig**2
+    llr_cha, llr_msg = codec.quantize_channel(llr)
+    llr_cha = jnp.asarray(llr_cha, jnp.int8)
+    llr_msg = jnp.asarray(llr_msg, jnp.int8)
+    t0 = time.perf_counter()
+    jax.block_until_ready(dec(llr_cha, llr_msg))
+    jax.block_until_ready(dec(llr_cha, llr_msg))
+    entry["compile_s"] = round(time.perf_counter() - t0, 1)
+    entry["headline_decode_ms"] = round(
+        _timeit(lambda a, b: dec(a, b), llr_cha, llr_msg) * 1e3, 1)
+    return entry
+
+
+METRICS = ("n10000_fused_ms", "n64800_fused_ms", "headline_decode_ms")
+
+
+def check(tol: float) -> int:
+    if not os.path.exists(LEDGER):
+        print("perf_regress: no ledger yet — run `record` first")
+        return 1
+    hist = json.load(open(LEDGER))
+    if len(hist) < 2:
+        print("perf_regress: single record, nothing to compare")
+        return 0
+    cur, prev = hist[-1], hist[-4:-1]
+    rc = 0
+    for m in METRICS:
+        best = min(p[m] for p in prev if m in p)
+        now = cur.get(m)
+        if now is None:
+            continue
+        decay = now / best - 1.0
+        flag = "REGRESSION" if decay > tol else "ok"
+        if decay > tol:
+            rc = 1
+        print(f"{m:22s} {now:9.3f} vs best-of-3 {best:9.3f} "
+              f"({decay:+.1%}) {flag}")
+    return rc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["record", "check"])
+    ap.add_argument("--tol", type=float, default=0.05)
+    args = ap.parse_args()
+    if args.mode == "record":
+        if not _on_tpu():
+            print("perf_regress: no TPU — refusing to record misleading "
+                  "CPU timings")
+            return 1
+        entry = record()
+        os.makedirs(os.path.dirname(LEDGER), exist_ok=True)
+        hist = json.load(open(LEDGER)) if os.path.exists(LEDGER) else []
+        hist.append(entry)
+        json.dump(hist, open(LEDGER, "w"), indent=1)
+        print(json.dumps(entry))
+        return 0
+    return check(args.tol)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
