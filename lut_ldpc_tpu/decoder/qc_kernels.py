@@ -123,7 +123,7 @@ _NT_TARGET_ELEMS = 24 * 8192
 
 
 def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
-            budget: int = 80 << 20) -> int:
+            budget: int = 95 << 20) -> int:
     """z-subtile size NT (multiple of 8, <= Z).
 
     Measured optimum on v5e is COMPUTE-BOUND, not VMEM-bound: the VN
@@ -137,7 +137,11 @@ def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
     force = os.environ.get("LUT_QC_NT")
     if force:
         return min(Z, max(8, int(force) // 8 * 8))
-    per_row = ((4 * nslots + 6) * itemsize + (3 * nslots + 8) * 4) * B
+    # scratch rows: in-windows (2x double-buffered + realign copy + out)
+    # in storage dtype, plus the compute's live f32 temporaries (~2 per
+    # slot through the shared LOO sweeps); N=64800 dv=17 f32 B=1024
+    # measures fine at NT=192 under the 110 MB Mosaic limit
+    per_row = ((4 * nslots + 2) * itemsize + (2 * nslots + 6) * 4) * B
     nt_budget = budget // per_row // 8 * 8
     nt_elems = _NT_TARGET_ELEMS // B // 8 * 8
     return min(Z, max(8, min(nt_budget, nt_elems)))
@@ -399,6 +403,20 @@ class _Chor:
                 halo.wait()
 
 
+def _static_parity(ranges_d) -> bool:
+    """Unroll compute over the two buffer parities (static scratch
+    indices) only when the per-class compute code is small: measured on
+    v5e, static parity is 1.7x faster on the (3,6) N=10000 kernels (one
+    degree class; a dynamic index even hits a 100x Mosaic cliff on long
+    select chains at B=8192) but 1.5x SLOWER on the 4-class dv<=17
+    N=64800 kernels, where 2x-unrolling the LOO tree code bloats the
+    program past what the core schedules well.  Sum of class degrees is
+    a cheap proxy for compute-code size."""
+    if _interpret() or os.environ.get("LUT_QC_DYNBUF"):
+        return False
+    return sum(d for _, _, d in ranges_d) <= 8
+
+
 def _for_class(ranges_d, row, body):
     """Run body(d) under a pl.when for each degree-class row range."""
     for lo, hi, d in ranges_d:
@@ -479,12 +497,16 @@ def _cn_qc_kernel(base8, sp, outp, m_ref, o_ref, synd_ref, scr_in, scr_al,
             (8, B),
         ).astype(jnp.int8)
 
-    # static buffer parity (see the VN kernel note)
-    for lo_r, hi_r, d_r in ch.ranges_d:
-        for bufc in range(2):
-            @pl.when(_in_class(i, lo_r, hi_r) & (buf == bufc))
-            def _(d_r=d_r, bufc=bufc):
-                compute(d_r, bufc)
+    # static buffer parity (see the VN kernel note); interpret mode keeps
+    # the dynamic index — same values, half the trace cost for the suite
+    if not _static_parity(ch.ranges_d):
+        _for_class(ch.ranges_d, i, lambda d: compute(d, buf))
+    else:
+        for lo_r, hi_r, d_r in ch.ranges_d:
+            for bufc in range(2):
+                @pl.when(_in_class(i, lo_r, hi_r) & (buf == bufc))
+                def _(d_r=d_r, bufc=bufc):
+                    compute(d_r, bufc)
 
     # issue this step's writeback; it drains two steps later, or in the
     # final-step epilogue here
@@ -794,11 +816,17 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
             (8, B),
         ).astype(jnp.int8)
 
-    for ci_r, (lo, hi, d) in enumerate(ch.ranges_d):
-        for bufc in range(2):
-            @pl.when(_in_class(j, lo, hi) & (buf == bufc))
-            def _(d=d, ci_r=ci_r, bufc=bufc):
-                compute(d, ci_r, bufc)
+    if not _static_parity(ch.ranges_d):
+        for ci_r, (lo, hi, d) in enumerate(ch.ranges_d):
+            @pl.when(_in_class(j, lo, hi))
+            def _(d=d, ci_r=ci_r):
+                compute(d, ci_r, buf)
+    else:
+        for ci_r, (lo, hi, d) in enumerate(ch.ranges_d):
+            for bufc in range(2):
+                @pl.when(_in_class(j, lo, hi) & (buf == bufc))
+                def _(d=d, ci_r=ci_r, bufc=bufc):
+                    compute(d, ci_r, bufc)
 
     # issue this step's writeback + bits tile; drains happen two steps
     # later, or in the final-step epilogue here
