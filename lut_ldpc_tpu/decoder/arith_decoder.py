@@ -711,16 +711,29 @@ class ArithLUTDecoder:
         return widths
 
     # ------------------------------------------------------------------
-    def _build_qc_pallas(self, raw: bool = False):
+    def _build_qc_pallas(self, raw: bool = False, cont_from=None):
         """Fused-kernel decode loop for the QC case (qc_kernels.py): one
         CN kernel (v2c rolls + two-min + syndrome) and one VN kernel
         (c2v rolls + per-class threshold trees + bits/unanimity) per
         iteration — four HBM passes and TWO kernel launches total.
         Handles any mix of degree classes (irregular QC) in int16 or
         float32.  Returns None when unsupported; outputs are bit-identical
-        to _build() (enforced by the equivalence suites)."""
+        to _build() (enforced by the equivalence suites).
+
+        cont_from=k (requires early_exit): CONTINUATION segment for
+        the mixed-precision hybrid — the returned function has signature
+        (llr_cha, v0_edges, bits_p, unan_p, done, latched, iters) and
+        runs iterations [k, S) from per-EDGE message values v0_edges
+        ((num_edges_vn, B) std grouped layout, this spec's value domain,
+        i.e. this spec's iteration-k input table entries) plus the
+        early-exit state at the segment boundary.  bits_p/unan_p must be
+        the previous segment's final VN outputs' sign data so the first
+        iteration's convergence latch matches the single-decoder
+        semantics exactly."""
         if not self._use_qc_kernels():
             return None
+        if cont_from is not None and not self.early_exit:
+            raise ValueError("cont_from requires early-exit mode")
         from . import qc_kernels as qk
 
         lay = self.layout
@@ -746,7 +759,7 @@ class ArithLUTDecoder:
         op_keys = qk.kernel_op_keys(self._op_flags)
         KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
 
-        def decode(llr_cha, llr_msg):
+        def decode(llr_cha, *state):
             B = llr_cha.shape[0]
             # geometry is fixed by the WIDEST batch (this trace's B): the
             # funnel's narrower stages reuse it so carry shapes stay fixed
@@ -791,20 +804,38 @@ class ArithLUTDecoder:
                     pieces.append(jnp.zeros((E_vn - pos, B), m.dtype))
                 return jnp.concatenate(pieces, axis=0)
 
-            cha_lab = llr_cha[:, self._vn_nodes].T  # (nvp, B) grouped
-            msg_lab = llr_msg[:, self._vn_nodes].T
-            vcha = self._select_values(cha_lab, self._leaf_cha)
-            v0 = self._select_values(msg_lab, self._leaf_msg0)
-            # initial messages directly in halo-plane layout
-            m_vn = vn_to_kernel(v0)  # (geom.rows_vn, B)
+            def vn_edges_to_kernel(v):  # std grouped (E_vn, B) -> planes
+                parts = []
+                for b, p in vn_planes_k:
+                    parts.append(v[b : b + Z])
+                    h = geom.halo_vn
+                    while h > 0:  # mirror the plane head into the tail
+                        parts.append(v[b : b + min(h, Z)])
+                        h -= Z
+                return jnp.concatenate(parts, axis=0)
 
-            # int8 end-to-end in the loop (the kernel emits int8 sign
-            # bits; a uint8 cast would cost a full pass per iteration)
-            bits_p = jnp.zeros((nvp, B), dtype=jnp.int8)
-            unan_p = jnp.zeros((B,), dtype=bool)
-            done = jnp.zeros((B,), dtype=bool)
-            latched = jnp.zeros((nvp, B), dtype=jnp.int8)
-            iters = jnp.full((B,), T, dtype=jnp.int32)
+            cha_lab = llr_cha[:, self._vn_nodes].T  # (nvp, B) grouped
+            vcha = self._select_values(cha_lab, self._leaf_cha)
+            if cont_from is None:
+                llr_msg, = state
+                msg_lab = llr_msg[:, self._vn_nodes].T
+                v0 = self._select_values(msg_lab, self._leaf_msg0)
+                # initial messages directly in halo-plane layout
+                m_vn = vn_to_kernel(v0)  # (geom.rows_vn, B)
+
+                # int8 end-to-end in the loop (the kernel emits int8 sign
+                # bits; a uint8 cast would cost a full pass per iteration)
+                bits_p = jnp.zeros((nvp, B), dtype=jnp.int8)
+                unan_p = jnp.zeros((B,), dtype=bool)
+                done = jnp.zeros((B,), dtype=bool)
+                latched = jnp.zeros((nvp, B), dtype=jnp.int8)
+                iters = jnp.full((B,), T, dtype=jnp.int32)
+            else:
+                v0_edges, bits_p, unan_p, done, latched, iters = state
+                m_vn = vn_edges_to_kernel(
+                    jnp.asarray(v0_edges, self._dtype))
+                bits_p = jnp.asarray(bits_p, jnp.int8)
+                latched = jnp.asarray(latched, jnp.int8)
 
             xs = dict(it=jnp.arange(self.S, dtype=jnp.int32),
                       var=self._var_xs)
@@ -867,7 +898,8 @@ class ArithLUTDecoder:
                     return wcond, wbody
 
                 widths = self._funnel_widths(B)
-                it = jnp.zeros((), jnp.int32)
+                it = jnp.full((), 0 if cont_from is None else cont_from,
+                              jnp.int32)
                 vcha_s = vcha
                 stack = []  # per shrink: (survivor idx, full-width state)
                 for si, W in enumerate(widths):

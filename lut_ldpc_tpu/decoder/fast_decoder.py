@@ -59,14 +59,25 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
     from .arith import ArithBuildError, build_arith_spec
     from .arith_decoder import ArithLUTDecoder
 
-    for dt in (np.int16, np.float32):  # int16 halves traffic when exact
-        try:
-            spec = build_arith_spec(codec, dtype=dt)
-            return ArithLUTDecoder(codec, early_exit=early_exit, spec=spec)
-        except ArithBuildError:
-            # could not *prove* exactness for this codec/dtype -> fall back;
-            # any other error is a genuine bug and propagates
+    try:  # int16 halves traffic when exact over the whole budget
+        spec = build_arith_spec(codec, dtype=np.int16)
+        return ArithLUTDecoder(codec, early_exit=early_exit, spec=spec)
+    except ArithBuildError:
+        # could not *prove* exactness for this codec/dtype -> fall back;
+        # any other error is a genuine bug and propagates
+        pass
+    if early_exit:
+        from .hybrid import MixedArithDecoder
+
+        try:  # int16 front segment + full-f32 arithmetic finish
+            return MixedArithDecoder(codec, early_exit=True)
+        except (ArithBuildError, ValueError):
             pass
+    try:
+        spec = build_arith_spec(codec, dtype=np.float32)
+        return ArithLUTDecoder(codec, early_exit=early_exit, spec=spec)
+    except ArithBuildError:
+        pass
     if early_exit:
         from .hybrid import HybridLUTDecoder
 

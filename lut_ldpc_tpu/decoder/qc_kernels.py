@@ -123,7 +123,7 @@ _NT_TARGET_ELEMS = 24 * 8192
 
 
 def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
-            budget: int = 95 << 20) -> int:
+            budget: int = 95 << 20, nrows: int = 1) -> int:
     """z-subtile size NT (multiple of 8, <= Z).
 
     Measured optimum on v5e is COMPUTE-BOUND, not VMEM-bound: the VN
@@ -143,6 +143,12 @@ def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
     # measures fine at NT=192 under the 110 MB Mosaic limit
     per_row = ((4 * nslots + 2) * itemsize + (2 * nslots + 6) * 4) * B
     nt_budget = budget // per_row // 8 * 8
+    if nrows >= 16:
+        # many-block plans (DVB-S2-scale irregular: 45 CN + 90 VN grid
+        # rows) are DMA-issue-bound — take the largest tile the budget
+        # allows (int16 N=64800 B=1024: 28 ms/iter at NT=360 vs 30.5 at
+        # the element-target's 192)
+        return min(Z, max(8, nt_budget))
     nt_elems = _NT_TARGET_ELEMS // B // 8 * 8
     return min(Z, max(8, min(nt_budget, nt_elems)))
 
@@ -195,8 +201,8 @@ def qc_geometry(plan, B: int, itemsize: int) -> QCGeom:
     Z = plan.Z
     max_dc = max(plan.cn_degrees)
     max_dv = max(plan.vn_degrees)
-    nt_cn = pick_nt(Z, B, max_dc, itemsize)
-    nt_vn = pick_nt(Z, B, max_dv + 1, itemsize)
+    nt_cn = pick_nt(Z, B, max_dc, itemsize, nrows=len(plan.cn_rows))
+    nt_vn = pick_nt(Z, B, max_dv + 1, itemsize, nrows=len(plan.vn_cols))
     aligned = all(
         s % 8 == 0 for _, src, _ in plan.cn_rows for _, s in src
     )

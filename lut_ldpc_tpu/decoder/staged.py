@@ -254,7 +254,7 @@ def make_staged_decoder(codec: LUTCodec, early_exit: bool = True,
         import os
 
         from .fast_decoder import make_decoder
-        from .hybrid import HybridLUTDecoder
+        from .hybrid import HybridLUTDecoder, MixedArithDecoder
 
         dec = make_decoder(codec, early_exit=True)
         g = codec.graph
@@ -262,7 +262,8 @@ def make_staged_decoder(codec: LUTCodec, early_exit: bool = True,
         budget = int(os.environ.get("LUT_DECODE_MEM_BUDGET", 1 << 30))
         fit = budget // (g.num_edges * int(g.dv_vec.max()) * 2)
         full_arith = isinstance(dec, ArithLUTDecoder) and not dec.is_prefix
-        if full_arith or isinstance(dec, HybridLUTDecoder):
+        if (full_arith or isinstance(dec, (HybridLUTDecoder,
+                                           MixedArithDecoder))):
             if fit >= max_batch:
                 return dec
             if fit >= 32:
