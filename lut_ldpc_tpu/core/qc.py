@@ -38,6 +38,16 @@ class QCStructure:
     mb: int  # base rows (check blocks)
     nb: int  # base cols (variable blocks)
     base: np.ndarray  # (mb, nb) int32 shifts, -1 = zero block
+    # weight-2 cells (e.g. the permuted DVB-S2 standard matrix,
+    # core/dvbs2.py): second shift per cell, -1 = none.  base2[i,j] >= 0
+    # requires base[i,j] >= 0 and base2[i,j] != base[i,j].
+    base2: np.ndarray | None = None
+    # phantom completions: (j, z_v, i, z_c) edges present in the expanded
+    # QC graph but ABSENT from the true matrix (the DVB-S2 staircase wrap
+    # misses one entry of one circulant).  Decoders pin these edges so the
+    # expanded graph decodes exactly as the true one (decoder/codec.py
+    # decode_ref defines the semantics).
+    phantoms: tuple = ()
 
     @property
     def nvar(self) -> int:
@@ -48,24 +58,105 @@ class QCStructure:
         return self.mb * self.Z
 
     def circulants(self):
-        """list of (i, j, s) with s >= 0, row-major order."""
-        ii, jj = np.nonzero(self.base >= 0)
-        return [(int(i), int(j), int(self.base[i, j])) for i, j in zip(ii, jj)]
+        """list of (i, j, s) with s >= 0, row-major order; weight-2 cells
+        contribute two entries (base shift first when smaller)."""
+        out = []
+        for i, j in zip(*np.nonzero(self.base >= 0)):
+            ss = [int(self.base[i, j])]
+            if self.base2 is not None and self.base2[i, j] >= 0:
+                ss.append(int(self.base2[i, j]))
+            for s in sorted(ss):
+                out.append((int(i), int(j), s))
+        return out
 
 
 def qc_expand(qc: QCStructure) -> TannerGraph:
-    """Expand to a TannerGraph; the QC structure rides along as graph.qc."""
+    """Expand to a TannerGraph; the QC structure rides along as graph.qc.
+
+    Per-node edge order is SLOT order — for variable (j, z) the checks in
+    ascending (block row i, shift s); for check (i, z) the variables in
+    ascending (block col j, shift s).  For weight-1-only structures this
+    equals the ascending-index order of a sorted expansion (distinct block
+    rows/cols order by block id), so existing codes are unchanged; for
+    weight-2 cells it is the unique order that is UNIFORM in z, which the
+    fused QC kernels require (fast_layout.qc_plan).  The slot order also
+    fixes the LUT-tree leaf assignment per node — a realization choice
+    equivalent to feeding the reference the expanded (permuted) matrix,
+    /root/reference/src/LDPC_Code_LUT.cpp:488-541.
+
+    Phantom completions (qc.phantoms) become real edges of the expanded
+    graph, recorded in graph.qc_phantoms as dicts with the variable, check,
+    VN-major edge id, and per-node slot positions; decoders that support
+    them decode the TRUE matrix exactly (pinned-edge semantics), all others
+    must reject the graph."""
     Z = qc.Z
+    col_circs: list[list] = [[] for _ in range(qc.nb)]
+    row_circs: list[list] = [[] for _ in range(qc.mb)]
+    for i, j, s in qc.circulants():
+        col_circs[j].append((i, s))
+        row_circs[i].append((j, s))
+    for lst in col_circs:
+        lst.sort()
+    for lst in row_circs:
+        lst.sort()
     cols: list[np.ndarray] = []
     for j in range(qc.nb):
-        rows = np.nonzero(qc.base[:, j] >= 0)[0]
-        shifts = qc.base[rows, j]
+        rows = np.array([i for i, _ in col_circs[j]], dtype=np.int64)
+        shifts = np.array([s for _, s in col_circs[j]], dtype=np.int64)
         for z in range(Z):
-            checks = rows * Z + (z + shifts) % Z
-            cols.append(np.sort(checks).astype(np.int64))
+            cols.append((rows * Z + (z + shifts) % Z).astype(np.int64))
     g = TannerGraph.from_cols(cols, qc.nvar, qc.nchk)
+    _reorder_checks_to_slot_order(g, qc, row_circs)
     g.qc = qc  # dataclass attr injection; consumers check getattr
+    if qc.phantoms:
+        starts = np.concatenate([[0], np.cumsum(g.dv_vec)])
+        ph = []
+        for (j, z_v, i, z_c) in qc.phantoms:
+            v = j * Z + z_v
+            c = i * Z + z_c
+            s = (z_c - z_v) % Z
+            k = col_circs[j].index((i, s))
+            l = row_circs[i].index((j, s))
+            if ((z_v + s) % Z) != z_c:
+                raise ValueError("phantom not on its circulant")
+            ph.append(dict(var=v, chk=c, edge=int(starts[v]) + k,
+                           var_slot=k, chk_slot=l,
+                           j=j, z_v=z_v, i=i, z_c=z_c))
+        g.qc_phantoms = tuple(ph)
     return g
+
+
+def _reorder_checks_to_slot_order(g: TannerGraph, qc: QCStructure,
+                                  row_circs) -> None:
+    """Reorder each check's index-array entries into slot order.
+
+    from_cols lists a check's edges in ascending variable index; for
+    weight-2 cells that order flips with z at the circulant wrap, so the
+    affected checks are rewritten to ascending (block col, shift) — a pure
+    relabeling of the check's socket positions (the CN update is symmetric
+    in its inputs: min-sum two-min + sign parity and XOR syndrome are
+    order-free), required for the per-slot DMA tables of the QC kernels."""
+    Z = qc.Z
+    if qc.base2 is None or not (np.asarray(qc.base2) >= 0).any():
+        return
+    row_of = {}
+    for d in g.cn_degrees:
+        for r, c in enumerate(g.cn_node_idx[int(d)]):
+            row_of[int(c)] = (int(d), r)
+    for i in range(qc.mb):
+        lst = row_circs[i]
+        if len({j for j, _ in lst}) == len(lst):
+            continue  # weight-1 row: ascending-var order already slot order
+        jj = np.array([j for j, _ in lst], dtype=np.int64)
+        ss = np.array([s for _, s in lst], dtype=np.int64)
+        for z in range(Z):
+            c = i * Z + z
+            want = jj * Z + (z - ss) % Z  # slot-order variable ids
+            d, r = row_of[c]
+            cur = g.cn_var_idx[d][r]
+            order = np.array([int(np.nonzero(cur == v)[0][0]) for v in want])
+            g.cn_var_idx[d][r] = cur[order]
+            g.cn_edge_idx[d][r] = g.cn_edge_idx[d][r][order]
 
 
 def _forbidden_shifts(base, Z, i, j, girth):
@@ -290,13 +381,22 @@ def qc_generate_irregular(ensemble, Z: int, nb: int, seed: int = 1,
 
 
 def save_qc(path: str, qc: QCStructure) -> None:
+    d = {"Z": qc.Z, "mb": qc.mb, "nb": qc.nb, "base": qc.base.tolist()}
+    if qc.base2 is not None:
+        d["base2"] = np.asarray(qc.base2).tolist()
+    if qc.phantoms:
+        d["phantoms"] = [list(p) for p in qc.phantoms]
     with open(path, "w") as f:
-        json.dump({"Z": qc.Z, "mb": qc.mb, "nb": qc.nb,
-                   "base": qc.base.tolist()}, f)
+        json.dump(d, f)
 
 
 def load_qc(path: str) -> QCStructure:
     with open(path) as f:
         d = json.load(f)
+    base2 = (np.asarray(d["base2"], dtype=np.int64)
+             if "base2" in d else None)
+    phantoms = tuple(tuple(int(x) for x in p)
+                     for p in d.get("phantoms", ()))
     return QCStructure(Z=int(d["Z"]), mb=int(d["mb"]), nb=int(d["nb"]),
-                       base=np.asarray(d["base"], dtype=np.int64))
+                       base=np.asarray(d["base"], dtype=np.int64),
+                       base2=base2, phantoms=phantoms)

@@ -220,12 +220,10 @@ class GroupedLayout:
         for i, j, s in circ:
             col_circs.setdefault(j, []).append((i, s))
             row_circs.setdefault(i, []).append((j, s))
-        if any(
-            len({i for i, _ in v}) != len(v) for v in col_circs.values()
-        ) or any(
-            len({j for j, _ in v}) != len(v) for v in row_circs.values()
-        ):
-            return None  # weight-2 circulant blocks: sorted order varies in z
+        # weight-2 cells are allowed: the graph must be built with
+        # slot-order edge lists (qc_expand), i.e. per-node order ascending
+        # (block, shift) uniformly in z; the exact perm_v2c validation
+        # below rejects any graph whose order does not match
         for v in col_circs.values():
             v.sort()
         for v in row_circs.values():
