@@ -111,12 +111,24 @@ class TannerGraph:
         return cls.from_cols(cols, nvar, nchk)
 
     # -- convenience ---------------------------------------------------------
+    @property
+    def phantoms(self) -> tuple:
+        """Phantom completion edges (core/qc.py qc_expand): present in the
+        index arrays but NOT part of the true matrix.  to_dense and the
+        empirical ensemble describe the TRUE matrix; decoders either pin
+        these edges (exact true-matrix semantics, decoder/codec.py
+        decode_ref) or reject the graph."""
+        return getattr(self, "qc_phantoms", ())
+
     def to_dense(self) -> np.ndarray:
-        """(nchk, nvar) uint8 parity-check matrix."""
+        """(nchk, nvar) uint8 parity-check matrix of the TRUE code
+        (phantom completion edges excluded)."""
         H = np.zeros((self.nchk, self.nvar), dtype=np.uint8)
         for d in self.cn_degrees:
             d = int(d)
             H[self.cn_node_idx[d][:, None], self.cn_var_idx[d]] = 1
+        for p in self.phantoms:
+            H[p["chk"], p["var"]] = 0
         return H
 
     def var_llr_edge_expand(self) -> np.ndarray:
@@ -129,4 +141,11 @@ class TannerGraph:
     def empirical_ensemble(self):
         from .ensemble import empirical_ensemble
 
-        return empirical_ensemble(self.dv_vec, self.dc_vec)
+        dv, dc = self.dv_vec, self.dc_vec
+        if self.phantoms:  # true-matrix degrees
+            dv = dv.copy()
+            dc = dc.copy()
+            for p in self.phantoms:
+                dv[p["var"]] -= 1
+                dc[p["chk"]] -= 1
+        return empirical_ensemble(dv, dc)

@@ -76,8 +76,16 @@ class ArithLUTDecoder:
         # bitcasts on TPU; padded rows carry garbage and all reductions in
         # convergence() mask them out
         self.layout = GroupedLayout(codec.graph, slot_major=True, align=16)
-        if [blk.degree for blk in self.layout.vn_blocks] != self.spec.degrees:
+        # spec rows by degree: the spec may carry EXTRA degrees beyond the
+        # graph's blocks (phantom-completed graphs: the codec designs trees
+        # for the TRUE degree profile, e.g. the DVB-S2 staircase-wrap
+        # dv=1 column that the completed graph holds as a dv=2 block)
+        try:
+            self._spec_di = [self.spec.degrees.index(blk.degree)
+                             for blk in self.layout.vn_blocks]
+        except ValueError:
             raise ValueError("arith spec degrees do not match graph blocks")
+        self._build_phantoms()
         self._qcp = None
         self._qc_copies = None
         qc = getattr(codec.graph, "qc", None)
@@ -109,6 +117,112 @@ class ArithLUTDecoder:
         return qc_kernels_supported()
 
     # ------------------------------------------------------------------
+    def _build_phantoms(self):
+        """Static bookkeeping for phantom completion edges (core/qc.py).
+
+        Semantics (golden definition: decode_ref, decoder/codec.py): the
+        phantom v2c value is pinned to the strongest positive level at
+        every CN pass — min-sum is neutral to a max-magnitude positive
+        input, so the completed check's outputs, sign parity, and
+        syndrome equal the TRUE check's exactly — and the phantom node
+        updates with its TRUE-degree trees over its real sockets, the
+        phantom sockets mirroring the first real output so the unanimity
+        sweep needs no masking.  The kernel path instead copies the real
+        c2v input over the phantom input row before the VN kernel (the
+        node's in-kernel outputs then agree identically, making its
+        unanimity lane trivially true as the true degree-1 semantics
+        require) and overwrites its output rows after."""
+        from .arith import ArithBuildError
+
+        lay = self.layout
+        self._ph = []
+        phantoms = self.codec.graph.phantoms
+        if not phantoms:
+            return
+        by_var: dict = {}
+        for p in phantoms:
+            by_var.setdefault(p["var"], []).append(p)
+        vn_node_pos = np.asarray(lay.vn_node_pos)
+        perm_c2v = np.asarray(lay.perm_c2v)
+        for v, plist in sorted(by_var.items()):
+            node_row = int(vn_node_pos[v])
+            bi = next(
+                i for i, blk in enumerate(lay.vn_blocks)
+                if blk.node_start <= node_row < blk.node_start + blk.n_pad
+            )
+            blk = lay.vn_blocks[bi]
+            d = blk.degree
+            off = node_row - blk.node_start
+            rows = [blk.edge_start + k * blk.n_pad + off for k in range(d)]
+            ph_slots = sorted(p["var_slot"] for p in plist)
+            real_slots = [k for k in range(d) if k not in ph_slots]
+            td = len(real_slots)
+            if td < 1:
+                raise ArithBuildError("phantom node with no real socket")
+            try:
+                di = self.spec.degrees.index(td)
+            except ValueError:
+                raise ArithBuildError(
+                    f"spec lacks the true degree-{td} trees of a phantom "
+                    "node (design the codec on the phantom graph)")
+            self._ph.append(dict(
+                v=v, bi=bi, off=off, d=d, td=td, di=di, node_row=node_row,
+                rows_ph=[rows[k] for k in ph_slots],
+                rows_real=[rows[k] for k in real_slots],
+                cn_rows_ph=[int(perm_c2v[rows[k]]) for k in ph_slots],
+                cn_rows_real=[int(perm_c2v[rows[k]]) for k in real_slots],
+            ))
+        self._pin = (
+            np.asarray(32767, self._dtype_np) if self._is_int
+            else np.asarray(np.finfo(self._dtype_np).max, self._dtype_np)
+        )
+
+    def _ph_pin_cn(self, m_cn):
+        """Pin phantom v2c rows (CN-grouped layout) to the strongest
+        positive value — before the syndrome read and the CN update."""
+        if not self._ph:
+            return m_cn
+        rows = jnp.asarray([r for p in self._ph for r in p["cn_rows_ph"]])
+        return m_cn.at[rows].set(jnp.asarray(self._pin, m_cn.dtype))
+
+    def _ph_node_outputs(self, p, msgs, cha_row, var_prm):
+        """TRUE-degree leave-one-out outputs of one phantom node.
+
+        msgs: list of td real c2v value rows (slot order), cha_row the
+        node's channel value row; var_prm the iteration-sliced op params
+        of the true-degree spec row.  Returns td output rows (storage
+        dtype)."""
+        di = p["di"]
+        struct = self._var_struct[di]
+        fp = self._fp_block[di]
+        outs = []
+        for i in range(p["td"]):
+            x_vals = [msgs[j] for j in range(p["td"]) if j != i] + [cha_row]
+            o = self._eval_tree(struct, x_vals, var_prm, fp=fp)
+            outs.append(o.astype(self._dtype) if fp else o)
+        return outs
+
+    def _ph_dec_fix(self, dec_bits, m_fin, cha_blocks):
+        """True-degree decision-tree output for phantom nodes (m_fin: the
+        final c2v values in the VN-grouped standard layout)."""
+        for p in self._ph:
+            spec = self._dec_specs[p["di"]]
+            x_vals = ([m_fin[r] for r in p["rows_real"]]
+                      + [cha_blocks[p["bi"]][p["off"]]])
+            prm, fp = self._dec_prm(spec)
+            out = self._eval_tree(spec, x_vals, prm, fp=fp)
+            dec_bits = dec_bits.at[p["node_row"]].set(
+                (out < 0).astype(dec_bits.dtype))
+        return dec_bits
+
+    def _ph_zero_edge_bits(self, edge_bits):
+        """Phantom (var, check) pairs contribute nothing to the bit-level
+        syndrome of the TRUE matrix."""
+        if not self._ph:
+            return edge_bits
+        rows = jnp.asarray([r for p in self._ph for r in p["cn_rows_ph"]])
+        return edge_bits.at[rows].set(0)
+
     def _build_constants(self):
         lay = self.layout
         self._perm_v2c = jnp.asarray(lay.perm_v2c)
@@ -137,13 +251,16 @@ class ArithLUTDecoder:
         # tables inside an int16 spec) evaluate their whole tree in f32 —
         # exact on the int16 grid (all values/sums < 2^24) — with float
         # select-chain emission; message STORAGE stays int16.
+        # indexed per SPEC ROW (== per layout block for ordinary graphs;
+        # phantom-completed graphs carry extra true-degree rows, mapped
+        # through self._spec_di)
         self._var_xs = []
-        self._var_struct = []  # per block: ArithTreeSpec (structure only)
-        self._op_flags = []  # per block: list of per-op static flag dicts
-        self._fp_block = []  # per block: tree evaluates in f32
+        self._var_struct = []  # per spec row: ArithTreeSpec (structure only)
+        self._op_flags = []  # per spec row: list of per-op static flag dicts
+        self._fp_block = []  # per spec row: tree evaluates in f32
         S = self.S
         dt = self._dtype_np
-        for bi in range(len(lay.vn_blocks)):
+        for bi in range(len(self.spec.degrees)):
             tree0 = self.spec.var_trees[0][bi] if S > 0 else None
             self._var_struct.append(tree0)
             ops_xs = []
@@ -404,8 +521,9 @@ class ArithLUTDecoder:
         op consumes all message leaves and values are integers, its sum is
         total-minus-self (exact).  Returns (d, n, B)."""
         d = blk.degree
-        struct = self._var_struct[bi]
-        fp = self._fp_block[bi]
+        di = self._spec_di[bi]
+        struct = self._var_struct[di]
+        fp = self._fp_block[di]
         cdt = jnp.float32 if fp else None
         if fp:
             # f32 tree evaluation (exact on the int16 grid): required by
@@ -426,7 +544,7 @@ class ArithLUTDecoder:
 
         def emit_op(oi, s, tie_src):
             return self._emit(s, prm[oi], tie_src,
-                              self._op_flags[bi][oi], dt=cdt)
+                              self._op_flags[di][oi], dt=cdt)
 
         def sweep(shift):
             # full bottom-up evaluation under one leaf assignment:
@@ -553,7 +671,7 @@ class ArithLUTDecoder:
                 m_vn, done, latched, iters = carry
                 W = m_vn.shape[-1]
                 it = x["it"]
-                m_cn = self._permute_v2c(m_vn)
+                m_cn = self._ph_pin_cn(self._permute_v2c(m_vn))
                 if early_exit:
                     bits, conv = convergence(m_vn, m_cn)
                     conv = conv & (it >= 1) & ~done
@@ -570,9 +688,20 @@ class ArithLUTDecoder:
                     d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
                     m = m_new[e0 : e0 + n * d].reshape(d, n, W)
                     out = self._vn_block_update(bi, blk, m, cha_blocks_s[bi],
-                                                x["var"][bi])
+                                                x["var"][self._spec_di[bi]])
                     outs.append(out.reshape(-1, W))
                 m_vn = jnp.concatenate(outs, axis=0)
+                # phantom nodes: true-degree update over the real sockets,
+                # phantom sockets mirror output 0 (unanimity-transparent)
+                for p in self._ph:
+                    msgs = [m_new[r] for r in p["rows_real"]]
+                    cha_row = cha_blocks_s[p["bi"]][p["off"]]
+                    po = self._ph_node_outputs(p, msgs, cha_row,
+                                               x["var"][p["di"]])
+                    for r, o in zip(p["rows_real"], po):
+                        m_vn = m_vn.at[r].set(o)
+                    for r in p["rows_ph"]:
+                        m_vn = m_vn.at[r].set(po[0])
                 # converged frames are not frozen; their outputs are latched
                 # above and later state is never read (output-identical)
                 return (m_vn, done, latched, iters), None
@@ -639,7 +768,7 @@ class ArithLUTDecoder:
             if raw:
                 return m_vn, done, latched, iters
 
-            m_cn = self._permute_v2c(m_vn)
+            m_cn = self._ph_pin_cn(self._permute_v2c(m_vn))
             if early_exit and self.S >= 1:
                 # covers the VN output of the last loop step
                 bits, conv = convergence(m_vn, m_cn)
@@ -661,15 +790,17 @@ class ArithLUTDecoder:
             for bi, blk in enumerate(lay.vn_blocks):
                 d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
                 m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
-                spec = self._dec_specs[bi]
+                spec = self._dec_specs[self._spec_di[bi]]
                 x_vals = [m[j] for j in range(d)] + [cha_blocks[bi]]
                 prm, fp = self._dec_prm(spec)
                 out = self._eval_tree(spec, x_vals, prm, fp=fp)  # (n_pad, B)
                 dec_bits.append((out < 0).astype(jnp.uint8))
             dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar_pad, B)
+            dec_bits = self._ph_dec_fix(dec_bits, m_fin, cha_blocks)
 
             bits_grp = jnp.where(done[None, :], latched, dec_bits)
             edge_bits = jnp.take(bits_grp, self._cn_var_pos, axis=0)
+            edge_bits = self._ph_zero_edge_bits(edge_bits)
             s_ok = None
             pos = 0
             for bi, blk in enumerate(lay.cn_blocks):

@@ -63,6 +63,9 @@ class BPDecoder:
         qllr_spacing_res: int = 7,
         qllr_total_res: int = 28,
     ):
+        if getattr(graph, "qc_phantoms", ()):
+            raise ValueError("phantom-completed graphs are LUT-decoder "
+                             "artifacts; BP decodes the true matrix")
         if algorithm not in ("spa", "minsum", "nms", "oms", "qllr"):
             raise ValueError(f"unknown BP algorithm {algorithm!r}")
         if algorithm == "qllr":

@@ -152,8 +152,13 @@ class LUTCodec:
         Nq_Msg = np.asarray(Nq_Msg, dtype=np.int64)
         if reuse_vec is None:
             reuse_vec = np.zeros(max_iters, dtype=bool)
+        if getattr(graph, "qc_phantoms", ()) and not min_lut:
+            # pinned-phantom exactness relies on the min-sum CN update
+            # being neutral to a max-magnitude positive input; CN LUT
+            # trees are not (and the completed check degree differs)
+            raise ValueError("phantom-completed graphs require min_lut")
         if ens is None:
-            ens = graph.empirical_ensemble()
+            ens = graph.empirical_ensemble()  # TRUE-matrix degrees
 
         gen_perm = gen_T = None
         nchk_lin_indep = -1
@@ -277,9 +282,33 @@ class LUTCodec:
                 cn_edges[int(c)] = g.cn_edge_idx[d][j]
                 cn_vars[int(c)] = g.cn_var_idx[d][j]
 
+        # phantom completion edges (core/qc.py qc_expand): the graph's
+        # index arrays carry them, the TRUE matrix does not.  Semantics
+        # (the golden definition every batched decoder must reproduce):
+        # - a phantom v2c message is pinned to the strongest-positive
+        #   label at every CN pass, making the completed check's outputs,
+        #   sign parity, and syndrome EXACTLY those of the true check
+        #   (min-sum is neutral to a max-magnitude positive input);
+        # - a variable with phantom sockets updates with its TRUE-degree
+        #   trees over its real sockets; its phantom sockets mirror the
+        #   first real output so the unanimity sweep needs no masking;
+        # - the bit-level syndrome ignores phantom (var, check) pairs.
+        ph = g.phantoms
+        ph_edges = np.array(sorted(p["edge"] for p in ph), dtype=np.int64)
+        ph_nodes = {}
+        for p in ph:
+            ph_nodes.setdefault(p["var"], []).append(p["edge"])
+        ph_true_d = {v: len(vn_edges[v]) - len(es)
+                     for v, es in ph_nodes.items()}
+        ph_pairs = {(p["chk"], p["var"]) for p in ph}
+        cn_vars_true = list(cn_vars)
+        for c, v in ph_pairs:
+            cn_vars_true[c] = np.array(
+                [x for x in cn_vars[c] if x != v], dtype=cn_vars[c].dtype)
+
         def syndrome_ok(b):
             for c in range(g.nchk):
-                if int(b[cn_vars[c]].sum()) % 2:
+                if int(b[cn_vars_true[c]].sum()) % 2:
                     return False
             return True
 
@@ -303,6 +332,8 @@ class LUTCodec:
         for ii in range(self.max_iters):
             nz = int(self.Nq_Msg[ii]) // 2
             # CN pass
+            if ph_edges.size:
+                msgs[ph_edges] = 2 * nz - 1  # pin: strongest positive
             for c in range(g.nchk):
                 e = cn_edges[c]
                 if self.min_lut:
@@ -319,6 +350,14 @@ class LUTCodec:
             if ii != self.max_iters - 1:
                 for v in range(g.nvar):
                     e = vn_edges[v]
+                    if v in ph_nodes:
+                        er = [x for x in e if x not in ph_nodes[v]]
+                        tree = self.var_tree(ii, ph_true_d[v])
+                        out = tree.var_msg_update(
+                            [int(msgs[x]) for x in er], int(llr_cha[v]))
+                        msgs[er] = out
+                        msgs[ph_nodes[v]] = out[0]  # mirror for unanimity
+                        continue
                     tree = self.var_tree(ii, len(e))
                     msgs[e] = tree.var_msg_update(
                         [int(x) for x in msgs[e]], int(llr_cha[v])
@@ -338,8 +377,14 @@ class LUTCodec:
         b = np.zeros(g.nvar, dtype=np.uint8)
         for v in range(g.nvar):
             e = vn_edges[v]
-            tree = self.var_tree(self.max_iters - 1, len(e))
-            o = tree.dec_update([int(x) for x in msgs[e]], int(llr_cha[v]))
+            if v in ph_nodes:
+                er = [x for x in e if x not in ph_nodes[v]]
+                tree = self.var_tree(self.max_iters - 1, ph_true_d[v])
+                o = tree.dec_update([int(msgs[x]) for x in er],
+                                    int(llr_cha[v]))
+            else:
+                tree = self.var_tree(self.max_iters - 1, len(e))
+                o = tree.dec_update([int(x) for x in msgs[e]], int(llr_cha[v]))
             b[v] = 1 if o < 1 else 0
         if verbosity > 0:
             self._print_stimuli(llr_cha, b, out)

@@ -98,6 +98,10 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
 class FastLUTDecoder:
     def __init__(self, codec: LUTCodec, early_exit: bool = True,
                  msg_dtype=None):
+        if getattr(codec.graph, "qc_phantoms", ()):
+            raise ValueError("phantom-completed graphs: only the "
+                             "arithmetic decoders implement pinned-edge "
+                             "semantics")
         if len(set(int(x) for x in codec.Nq_Msg)) != 1:
             raise ValueError("fast decoder needs uniform Nq_Msg")
         self.codec = codec

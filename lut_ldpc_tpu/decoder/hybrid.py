@@ -105,6 +105,9 @@ class HybridLUTDecoder:
     built (callers fall back)."""
 
     def __init__(self, codec: LUTCodec, early_exit: bool = True):
+        if getattr(codec.graph, "qc_phantoms", ()):
+            raise ValueError(
+                "phantom-completed graphs: hybrid tail lacks pinned-edge semantics")
         if not early_exit:
             raise ValueError("hybrid decoding requires early exit")
         self.codec = codec
@@ -269,6 +272,10 @@ class MixedArithDecoder:
 
     def __init__(self, codec: LUTCodec, early_exit: bool = True,
                  min_prefix: int = 8):
+        if getattr(codec.graph, "qc_phantoms", ()):
+            raise ArithBuildError(
+                "phantom-completed graphs: mixed-precision seam not yet "
+                "phantom-aware (single-dtype arith decoder handles them)")
         if not early_exit:
             raise ValueError("mixed arith decoding requires early exit")
         self.codec = codec

@@ -80,6 +80,9 @@ class LUTDecoder:
     """
 
     def __init__(self, codec: LUTCodec, early_exit: bool = True):
+        if getattr(codec.graph, "qc_phantoms", ()):
+            raise ValueError(
+                "phantom-completed graphs: only the arithmetic decoders implement pinned-edge semantics")
         self.codec = codec
         self.early_exit = early_exit
         g = codec.graph
