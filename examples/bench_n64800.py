@@ -32,9 +32,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("LUT_DECODE_MEM_BUDGET", str(11 << 30))
 
 
+DVBS2_ALIST = "/root/reference/codes/rate0.50_irreg_dvbs2_N64800.alist"
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--code", default="qc", choices=["qc", "peg"])
+    ap.add_argument("--code", default="qc",
+                    choices=["qc", "peg", "dvbs2", "dvbs2-gather"])
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--snr", type=float, default=1.6)
     ap.add_argument("--reps", type=int, default=3)
@@ -54,6 +58,15 @@ def main():
     if args.code == "qc":
         graph = qc_expand(load_qc(os.path.join(
             ROOT, "codes", "rate0.50_dv02-17_dc08-09_N64800_qc.qc.json")))
+    elif args.code == "dvbs2":
+        # the ETSI standard matrix, permuted to its Z=360 QC form with
+        # one phantom completion (core/dvbs2.py) -> fused kernel path
+        from lut_ldpc_tpu.core.dvbs2 import load_periodic_alist
+
+        graph, _, _ = load_periodic_alist(DVBS2_ALIST)
+    elif args.code == "dvbs2-gather":
+        # the same standard matrix decoded unpermuted (row-gather path)
+        graph = TannerGraph.from_alist(DVBS2_ALIST)
     else:
         graph = TannerGraph.from_alist(os.path.join(
             ROOT, "codes", "rate0.50_dv02-17_dc08-09_lut_q4_N64800.alist"))

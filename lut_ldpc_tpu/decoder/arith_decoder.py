@@ -865,6 +865,13 @@ class ArithLUTDecoder:
             return None
         if cont_from is not None and not self.early_exit:
             raise ValueError("cont_from requires early-exit mode")
+        if self._ph and (cont_from is not None
+                         or any(p["td"] != 1 for p in self._ph)):
+            # the in-kernel unanimity trick (all inputs of the phantom
+            # node equalized => its lane trivially agrees, matching the
+            # true degree-1 semantics) only covers true-degree-1 nodes;
+            # the mixed-precision continuation is not phantom-aware
+            return None
         from . import qc_kernels as qk
 
         lay = self.layout
@@ -875,7 +882,10 @@ class ArithLUTDecoder:
         E_vn, E_cn = lay.num_edges_vn, lay.num_edges_cn
         nvp = lay.nvar_pad
         itemsize = self._dtype_np.itemsize
-        structs = self._var_struct
+        # per-LAYOUT-BLOCK views of the per-spec-row structures (identical
+        # for ordinary graphs; phantom graphs carry extra spec rows)
+        structs = [self._var_struct[di] for di in self._spec_di]
+        flags_blk = [self._op_flags[di] for di in self._spec_di]
         # total-minus-self is exact for integer values only (float rounding
         # makes (a+b+c)-c != a+b) — same gate as _vn_block_update
         use_tots = [
@@ -887,7 +897,7 @@ class ArithLUTDecoder:
         # ops ride the magnitude thresholds/levels in the same slots, and
         # delta-validated ops (kdelta) ride [lev0, dlev...] in the levels
         # slot (masked-add emission, bit-exact by the build-time check)
-        op_keys = qk.kernel_op_keys(self._op_flags)
+        op_keys = qk.kernel_op_keys(flags_blk)
         KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
 
         def decode(llr_cha, *state):
@@ -897,6 +907,38 @@ class ArithLUTDecoder:
             geom = qk.qc_geometry(qcp, B, itemsize)
             vn_pl, cn_pl = qk.plane_index(qcp)
             stride_vn = Z + geom.halo_vn
+
+            # phantom fixup rows in KERNEL halo layout (all td == 1 here;
+            # checked above).  A written row's halo mirror (kernel row
+            # + Z, present when z < halo) must be kept coherent.
+            ph_k = []
+            if self._ph:
+                k_vn = qk.std_to_kernel_rows(qcp, geom, "vn", E_vn)
+                k_cn = qk.std_to_kernel_rows(qcp, geom, "cn", E_cn)
+
+                def with_mirror(kr, stride, halo):
+                    kr = int(kr)
+                    assert kr >= 0
+                    return [kr] + ([kr + Z] if kr % stride < halo else [])
+
+                stride_cn = Z + geom.halo_cn
+                for p in self._ph:
+                    ph_k.append(dict(
+                        p=p,
+                        vn_real=jnp.asarray(with_mirror(
+                            k_vn[p["rows_real"][0]], stride_vn,
+                            geom.halo_vn)),
+                        vn_ph=jnp.asarray([
+                            r for rr in p["rows_ph"]
+                            for r in with_mirror(k_vn[rr], stride_vn,
+                                                 geom.halo_vn)]),
+                        cn_dst=jnp.asarray([
+                            r for rr in p["cn_rows_ph"]
+                            for r in with_mirror(k_cn[rr], stride_cn,
+                                                 geom.halo_cn)]),
+                        cn_src=int(k_cn[p["cn_rows_real"][0]]),
+                    ))
+            pin = jnp.asarray(self._pin, self._dtype) if self._ph else None
             # kernel halo-plane layout <-> standard grouped layout, as
             # STATIC slice+concat lists (stream-bandwidth copies; a row
             # gather here would be DMA-issue-bound).  Plane indices ascend
@@ -953,6 +995,8 @@ class ArithLUTDecoder:
                 v0 = self._select_values(msg_lab, self._leaf_msg0)
                 # initial messages directly in halo-plane layout
                 m_vn = vn_to_kernel(v0)  # (geom.rows_vn, B)
+                for pk in ph_k:  # phantom v2c rows start pinned
+                    m_vn = m_vn.at[pk["vn_ph"]].set(pin)
 
                 # int8 end-to-end in the loop (the kernel emits int8 sign
                 # bits; a uint8 cast would cost a full pass per iteration)
@@ -980,16 +1024,33 @@ class ArithLUTDecoder:
                     latched = jnp.where(conv[None, :], bits_p, latched)
                     iters = jnp.where(conv, it, iters)
                     done = done | conv
+                # phantom nodes: equalize every input row with the single
+                # real c2v input, so the node's in-kernel leave-one-out
+                # outputs are identical and its unanimity lane is
+                # trivially true — the true degree-1 semantics
+                for pk in ph_k:
+                    m_cn = m_cn.at[pk["cn_dst"]].set(m_cn[pk["cn_src"]])
                 prm_it = [
                     [
                         {ks: op[k] for ks, k in zip(KSLOTS, keys)}
-                        for op, keys in zip(x["var"][bi], op_keys[bi])
+                        for op, keys in zip(x["var"][self._spec_di[bi]],
+                                            op_keys[bi])
                     ]
                     for bi in range(len(structs))
                 ]
                 m_vn, bits_p, unan_p = qk.vn_qc_pass(
                     m_cn, vcha_s, qcp, geom, nvp, structs, prm_it,
-                    use_tots, self._op_flags)
+                    use_tots, flags_blk)
+                # phantom nodes: true degree-1 update (channel-only tree),
+                # phantom v2c rows re-pinned for the next CN pass
+                for pk in ph_k:
+                    p = pk["p"]
+                    out0 = self._ph_node_outputs(
+                        p, [], vcha_s[p["node_row"]], x["var"][p["di"]])[0]
+                    m_vn = m_vn.at[pk["vn_real"]].set(out0)
+                    m_vn = m_vn.at[pk["vn_ph"]].set(pin)
+                    bits_p = bits_p.at[p["node_row"]].set(
+                        (out0 < 0).astype(bits_p.dtype))
                 return (m_vn, bits_p, unan_p, done, latched, iters), None
 
             if early_exit and self.S > 0:
@@ -1099,19 +1160,22 @@ class ArithLUTDecoder:
                 m_cn, jnp.asarray(cs_k), jnp.asarray(vs_, jnp.int32),
                 jnp.asarray(s_ % Z, jnp.int32), lay.num_edges_vn)
             dec_bits = []
+            cha_blocks = [vcha[blk.node_start : blk.node_start + blk.n_pad]
+                          for blk in lay.vn_blocks]
             for bi, blk in enumerate(lay.vn_blocks):
                 d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
                 m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
-                spec = self._dec_specs[bi]
-                cha_b = vcha[blk.node_start : blk.node_start + blk.n_pad]
-                x_vals = [m[j2] for j2 in range(d)] + [cha_b]
+                spec = self._dec_specs[self._spec_di[bi]]
+                x_vals = [m[j2] for j2 in range(d)] + [cha_blocks[bi]]
                 prm, fp = self._dec_prm(spec)
                 out = self._eval_tree(spec, x_vals, prm, fp=fp)  # (n_pad, B)
                 dec_bits.append((out < 0).astype(jnp.int8))
             dec_bits = jnp.concatenate(dec_bits, axis=0)  # (nvar_pad, B)
+            dec_bits = self._ph_dec_fix(dec_bits, m_fin, cha_blocks)
 
             bits_grp = jnp.where(done[None, :], latched, dec_bits)
             edge_bits = jnp.take(bits_grp, self._cn_var_pos, axis=0)
+            edge_bits = self._ph_zero_edge_bits(edge_bits)
             s_ok = None
             pos = 0
             for bi, blk in enumerate(lay.cn_blocks):

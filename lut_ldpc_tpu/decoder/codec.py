@@ -97,7 +97,14 @@ class LUTCodec:
         if self.nchk_lin_indep < 0:
             from ..core.gf2 import gf2_rank
 
-            if self.graph.nvar < 1e5:
+            if _peel_full_rank(self.graph):
+                # O(E) certificate: repeatedly eliminating degree-1 checks
+                # exhausts every check, so H contains a column-permuted
+                # triangular nchk x nchk submatrix (e.g. the DVB-S2 / IRA
+                # accumulator staircase) — full row rank without the
+                # minutes-long dense reduction at N=64800
+                self.nchk_lin_indep = self.graph.nchk
+            elif self.graph.nvar < 1e5:
                 self.nchk_lin_indep = gf2_rank(self._dense_H())
             else:
                 self.nchk_lin_indep = self.graph.nchk
@@ -162,6 +169,12 @@ class LUTCodec:
 
         gen_perm = gen_T = None
         nchk_lin_indep = -1
+        if build_generator and getattr(graph, "qc_phantoms", ()):
+            # the systematic column permutation would discard the QC
+            # structure the phantom graph exists for; encoded-codeword
+            # sims should run the unpermuted realization instead
+            raise ValueError("phantom-completed graphs support "
+                             "zero-codeword simulation only")
         if build_generator:
             from ..core.gf2 import make_systematic_generator_cached
 
@@ -579,6 +592,56 @@ class LUTCodec:
         u = np.eye(k, dtype=np.uint8)
         x = self.encode(u)
         return bool(((H @ x.T) % 2 == 0).all())
+
+
+def _peel_full_rank(graph) -> bool:
+    """True iff greedy peeling of degree-1 VARIABLES eliminates every
+    check of the TRUE matrix (phantom edges excluded): each peeled
+    (variable, check) pair pivots a column whose only remaining row is
+    that check, so the pivots form a column-permuted triangular
+    nchk x nchk submatrix — full row rank, certified in O(E).
+    Staircase/accumulator codes (the DVB-S2 parity chain, IRA) peel
+    completely from the dv=1 wrap column; unstructured codes stall and
+    callers fall back to the dense reduction."""
+    import collections
+
+    chk_of_var: list[list[int]] = [[] for _ in range(graph.nvar)]
+    ph_pairs = {(p["chk"], p["var"]) for p in graph.phantoms}
+    for d in graph.cn_degrees:
+        d = int(d)
+        for c, vs in zip(graph.cn_node_idx[d], graph.cn_var_idx[d]):
+            c = int(c)
+            for v in vs:
+                if (c, int(v)) not in ph_pairs:
+                    chk_of_var[int(v)].append(c)
+    chk_alive = np.ones(graph.nchk, dtype=bool)
+    vdeg = np.array([len(cs) for cs in chk_of_var], dtype=np.int64)
+    queue = collections.deque(np.nonzero(vdeg == 1)[0].tolist())
+    removed = 0
+    while queue:
+        v = queue.popleft()
+        if vdeg[v] != 1:
+            continue
+        c = next(x for x in chk_of_var[v] if chk_alive[x])
+        chk_alive[c] = False
+        removed += 1
+        for v2 in _vars_of_check(graph, c):
+            if (c, v2) not in ph_pairs:
+                vdeg[v2] -= 1
+                if vdeg[v2] == 1:
+                    queue.append(v2)
+    return removed == graph.nchk
+
+
+def _vars_of_check(graph, c: int):
+    if not hasattr(graph, "_vars_of_chk_cache"):
+        cache = [None] * graph.nchk
+        for d in graph.cn_degrees:
+            d = int(d)
+            for cc, vs in zip(graph.cn_node_idx[d], graph.cn_var_idx[d]):
+                cache[int(cc)] = [int(v) for v in vs]
+        graph._vars_of_chk_cache = cache
+    return graph._vars_of_chk_cache[c]
 
 
 def _chk_minsum_scalar(m: np.ndarray, nz: int) -> np.ndarray:

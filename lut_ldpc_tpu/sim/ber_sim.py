@@ -350,8 +350,20 @@ def run_from_config(
             alist = os.path.join(codes_root, config.sim.codes_dir, alist)
         if not alist.endswith(".alist"):
             alist += ".alist"
-        H = read_alist(alist)
-        graph = TannerGraph.from_dense(H)
+        graph = None
+        if config.ldpc.qc_detect:
+            from ..core.dvbs2 import load_periodic_alist
+
+            try:
+                graph, _, _ = load_periodic_alist(alist)
+                if verbose:
+                    print(f"QC structure detected (Z=360): fused kernel "
+                          f"path enabled for {os.path.basename(alist)}")
+            except ValueError:
+                pass
+        if graph is None:
+            H = read_alist(alist)
+            graph = TannerGraph.from_dense(H)
 
     if config.codec_type == "LUT":
         lut = config.lut

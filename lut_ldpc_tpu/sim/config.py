@@ -61,6 +61,14 @@ class LDPCConfig:
     zero_codeword: bool = True
     save_permuted: bool = False
     parity_check_iter: bool = True
+    # qc_detect=1: factorize a DVB-S2-family 360-periodic matrix into its
+    # quasi-cyclic form (core/dvbs2.py) so decoding rides the fused
+    # Pallas kernels.  Statistically identical (same code up to bit
+    # relabeling; the LUT-tree leaf order follows circulant slot order,
+    # equivalent to feeding the reference the permuted alist) but not
+    # frame-bit-identical to the unpermuted realization — default off to
+    # keep result files reproducible against earlier runs.
+    qc_detect: bool = False
 
 
 @dataclass
@@ -152,6 +160,7 @@ def parse_ini(path: str) -> BERSimConfig:
         zero_codeword=get("LDPC", "zero_codeword", ld.zero_codeword, bool),
         save_permuted=get("LDPC", "save_permuted", ld.save_permuted, bool),
         parity_check_iter=get("LDPC", "parity_check_iter", ld.parity_check_iter, bool),
+        qc_detect=get("LDPC", "qc_detect", ld.qc_detect, bool),
     )
     bp = lut = None
     codec_type = get("Sim", "codec_type", "")

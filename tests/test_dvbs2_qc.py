@@ -153,6 +153,27 @@ def test_arith_xla_matches_decode_ref(analog_codec):
         assert ok[b] == (want_it > 0), f"frame {b}"
 
 
+def test_arith_kernel_matches_decode_ref(analog_codec, monkeypatch):
+    """Fused QC Pallas kernel path (interpret mode) == scalar golden
+    model on the phantom-completed analog."""
+    import numpy as np
+
+    from lut_ldpc_tpu.decoder.arith_decoder import ArithLUTDecoder
+
+    monkeypatch.setenv("LUT_LDPC_PALLAS_INTERPRET", "1")
+    codec = analog_codec
+    dec = ArithLUTDecoder(codec, early_exit=True)
+    assert dec._use_qc_kernels()
+    assert dec._build_qc_pallas() is not None
+    llr_cha, llr_msg = _frames(codec, 16, 5)
+    bits, ok, iters = (np.asarray(x) for x in dec(llr_cha, llr_msg))
+    for b in range(16):
+        want, want_it = codec.decode_ref(llr_cha[b], llr_msg[b])
+        assert np.array_equal(bits[b], want), f"frame {b}"
+        assert iters[b] == abs(want_it), f"frame {b}: {iters[b]} vs {want_it}"
+        assert ok[b] == (want_it > 0), f"frame {b}"
+
+
 def test_other_decoders_reject_phantoms(analog_codec):
     from lut_ldpc_tpu.decoder.fast_decoder import FastLUTDecoder
     from lut_ldpc_tpu.decoder.lut_decoder import LUTDecoder
