@@ -5,6 +5,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -23,23 +24,37 @@ def dp_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 
 
 def make_dp_step(step_fn, mesh: Mesh, axis: str = "dp"):
-    """SPMD-wrap a per-device MC step.
+    """SPMD-wrap a per-device MC step, keyed by GLOBAL batch index.
 
-    step_fn(key, sigma) -> dict of scalar counters.  Each device derives a
-    unique key via fold_in(key, axis_index) — the counter-based replacement
-    for the reference's per-process seed offsets (LDPC_BER_Sim.cpp:129) —
-    and counters are psum-reduced over the mesh, replacing the offline
-    result merging of scripts/aggregate_results.m.
+    step_fn(key, sigma) -> dict of scalar counters.  The wrapped function
+    has signature (key_snr, sigma, gb0): device i runs global batch
+    gb0 + i with key fold_in(key_snr, gb0 + i) — the SAME per-batch key
+    stream a single-device run uses, so Monte-Carlo counters are exactly
+    invariant to the mesh size (the reference's reproducibility contract,
+    LDPC_BER_Sim.cpp:129: same seed -> same results file, which its
+    per-process seed offsets only guaranteed per fixed process count).
+    Counters come back UN-reduced as (n_devices,) vectors in global-batch
+    order; the host applies the sequential early-exit rules exactly as a
+    single-device run would and sums (replacing the offline result
+    merging of scripts/aggregate_results.m — on a real pod the gather
+    rides ICI, and partial sums are fine to psum in-device when the
+    caller does not need sequential-stop exactness).
     """
+    n = mesh.shape[axis]
 
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-             check_vma=False)
-    def wrapped(key, sigma):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        counts = step_fn(key, sigma)
-        return jax.tree.map(lambda x: jax.lax.psum(x, axis), counts)
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+             out_specs=P(), check_vma=False)
+    def wrapped(key_snr, sigma, gb0):
+        gb = gb0 + jax.lax.axis_index(axis)
+        counts = step_fn(jax.random.fold_in(key_snr, gb), sigma)
+        # all_gather (not psum): the host needs per-batch counters to
+        # apply sequential stop rules; replicated so every process of a
+        # multi-host mesh can read them without cross-host addressing
+        return jax.tree.map(
+            lambda x: jax.lax.all_gather(jnp.asarray(x), axis), counts)
 
+    wrapped.n_devices = n
     return wrapped
 
 
@@ -62,20 +77,24 @@ def dp_mesh_2d(n_snr: int, n_devices: int | None = None,
 def make_dp_step_2d(step_fn, mesh: Mesh, axes: tuple = ("snr", "dp")):
     """SPMD MC step over a 2-D (snr, dp) mesh.
 
-    step_fn(key, sigma) -> dict of scalar counters.  sigmas (n_snr,) is
-    sharded over the snr axis (one noise level per mesh row); every device
-    derives a unique key via fold_in over BOTH axis indices; counters are
-    psum-reduced over the dp axis only, so the wrapped fn returns
-    per-SNR-point counter vectors of shape (n_snr,)."""
+    step_fn(key, sigma) -> dict of scalar counters.  The wrapped function
+    has signature (base_key, sigmas, gb0): sigmas (n_snr,) is sharded
+    over the snr axis (one noise level per mesh row), each row derives
+    its SNR key as fold_in(base_key, snr_index) — the same derivation
+    BERSim.run uses per SNR point — and within a row device j runs
+    global batch gb0 + j keyed fold_in(key_snr, gb0 + j), the exact
+    single-device key stream (mesh-size-invariant counters, as in
+    make_dp_step).  Counters are psum-reduced over the dp axis only:
+    shape (n_snr,) per counter."""
     snr_ax, dp_ax = axes
 
     @jax.jit
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(snr_ax)),
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(snr_ax), P()),
              out_specs=P(snr_ax), check_vma=False)
-    def wrapped(key, sigmas):
-        key = jax.random.fold_in(key, jax.lax.axis_index(snr_ax))
-        key = jax.random.fold_in(key, jax.lax.axis_index(dp_ax))
-        counts = step_fn(key, sigmas[0])
+    def wrapped(base_key, sigmas, gb0):
+        key_snr = jax.random.fold_in(base_key, jax.lax.axis_index(snr_ax))
+        gb = gb0 + jax.lax.axis_index(dp_ax)
+        counts = step_fn(jax.random.fold_in(key_snr, gb), sigmas[0])
         counts = jax.tree.map(lambda x: jax.lax.psum(x, dp_ax), counts)
         return jax.tree.map(lambda x: x[None], counts)
 

@@ -292,19 +292,41 @@ class BERSim:
             frames = int(results.frames[ss])
             ferrs = int(results.frame_errors[ss])
             bb = start_bb if ss == start_ss else 0
+            # bb counts GLOBAL batches: per-batch keys are
+            # fold_in(key_snr, bb) on every path, and a mesh runs batches
+            # [bb, bb + n_dev) concurrently returning per-device counter
+            # vectors in global-batch order — the host applies the
+            # sequential early-exit rules below exactly as a
+            # single-device run would, so counters (and checkpoints) are
+            # invariant to the mesh size (surplus in-flight batches past
+            # a stop point are computed but never counted)
+            n_dev = 1
+            if self.mesh is not None:
+                n_dev = int(np.prod(list(self.mesh.shape.values())))
             while frames < cfg.Nframes and ferrs <= cfg.Nfers:
-                c = self._step(jax.random.fold_in(key_snr, bb), sigma)
-                c = {kk: int(v) for kk, v in c.items()}
-                results.add_counts(
-                    ss, c["frames"], c["data_bits"], c["uncoded_bits"],
-                    c["frame_errors"], c["data_bit_errors"], c["uncoded_bit_errors"],
-                    c.get("decode_iters", 0),
-                )
-                frames += c["frames"]
-                ferrs += c["frame_errors"]
-                bb += 1
-                if checkpoint_path and bb % checkpoint_every == 0:
-                    save_ckpt(ss, bb)
+                if self.mesh is None:
+                    c = self._step(jax.random.fold_in(key_snr, bb), sigma)
+                    batch_counts = [{kk: int(v) for kk, v in c.items()}]
+                else:
+                    cv = self._step(key_snr, sigma, jnp.int32(bb))
+                    cv = {kk: np.asarray(v) for kk, v in cv.items()}
+                    batch_counts = [
+                        {kk: int(v[j]) for kk, v in cv.items()}
+                        for j in range(n_dev)
+                    ]
+                for c in batch_counts:
+                    if not (frames < cfg.Nframes and ferrs <= cfg.Nfers):
+                        break
+                    results.add_counts(
+                        ss, c["frames"], c["data_bits"], c["uncoded_bits"],
+                        c["frame_errors"], c["data_bit_errors"],
+                        c["uncoded_bit_errors"], c.get("decode_iters", 0),
+                    )
+                    frames += c["frames"]
+                    ferrs += c["frame_errors"]
+                    bb += 1
+                    if checkpoint_path and bb % checkpoint_every == 0:
+                        save_ckpt(ss, bb)
             if verbose:
                 print(
                     f"SNR = {snr:g}  frames {results.frames[ss]}  "

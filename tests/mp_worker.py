@@ -63,13 +63,15 @@ def main():
 
     # unreduced local counters: replicate THIS device's contribution with an
     # unmeshed simulator step under the same key derivation used by
-    # make_dp_step (fold_in(batch_key, axis_index)); the parent asserts
-    # local0 != local1 (disjoint per-process RNG streams) and
-    # local0 + local1 == global (psum really crossed the process boundary)
+    # make_dp_step (global-batch keying: fold_in(key_snr, gb) with device
+    # pid running global batch pid of group 0); the parent asserts
+    # local0 != local1 (disjoint per-batch RNG streams) and
+    # local0 + local1 == global (the gather really crossed the process
+    # boundary)
     sim_local = BERSim(cfg, graph, codec=codec)
     base = jax.random.PRNGKey(0)
-    batch_key = jax.random.fold_in(jax.random.fold_in(base, 0), 0)
-    dev_key = jax.random.fold_in(batch_key, pid)
+    key_snr = jax.random.fold_in(base, 0)
+    dev_key = jax.random.fold_in(key_snr, pid)
     sigma = float(snr2sig(sim.rate, 2.5))
     local = {k: int(v) for k, v in sim_local._step(dev_key, sigma).items()}
 

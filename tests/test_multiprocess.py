@@ -136,19 +136,21 @@ def test_dp_mesh_2d_snr_by_batch():
     sigmas = jnp.asarray(
         [float(snr2sig(sim.rate, s)) for s in (2.0, 3.0)], jnp.float32
     )
-    out = {k: np.asarray(v) for k, v in step2d(key, sigmas).items()}
+    out = {k: np.asarray(v)
+           for k, v in step2d(key, sigmas, jnp.int32(0)).items()}
     assert out["frames"].shape == (2,)
     assert (out["frames"] == 4 * 16).all()
     # higher SNR -> fewer errors (sanity that rows really differ)
     assert out["data_bit_errors"][1] <= out["data_bit_errors"][0]
 
     # row r must equal a 1-D 4-device run keyed with fold_in(key, r)
+    # (per-device vectors in global-batch order; sum = the row's psum)
     step1d = make_dp_step(sim._step_raw, dp_mesh(4))
     for r in range(2):
         ref = {
-            k: int(v)
+            k: int(np.asarray(v).sum())
             for k, v in step1d(
-                jax.random.fold_in(key, r), float(sigmas[r])
+                jax.random.fold_in(key, r), float(sigmas[r]), jnp.int32(0)
             ).items()
         }
         for k in ("frames", "frame_errors", "data_bit_errors",
