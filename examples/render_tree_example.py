@@ -82,6 +82,12 @@ def main():
     out_png = os.path.join(ROOT, "trees", "example.png")
     fig.savefig(out_png, dpi=150, bbox_inches="tight")
     print(f"wrote {out_png}")
+    # vector PDF counterpart of the reference's trees/example.pdf (the
+    # tikz source is checked in for users with a LaTeX toolchain; this
+    # PDF is the same structure rendered by matplotlib)
+    out_pdf = os.path.join(ROOT, "trees", "example.pdf")
+    fig.savefig(out_pdf, bbox_inches="tight")
+    print(f"wrote {out_pdf}")
 
 
 if __name__ == "__main__":

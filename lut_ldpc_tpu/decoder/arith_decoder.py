@@ -941,9 +941,11 @@ class ArithLUTDecoder:
             pin = jnp.asarray(self._pin, self._dtype) if self._ph else None
             # kernel halo-plane layout <-> standard grouped layout, as
             # STATIC slice+concat lists (stream-bandwidth copies; a row
-            # gather here would be DMA-issue-bound).  Plane indices ascend
-            # with the std base (qk.plane_index sorts), so both directions
-            # are in-order concatenations.
+            # gather here would be DMA-issue-bound).  Plane numbering is
+            # PRODUCER-major (qk.plane_index), NOT sorted by std base:
+            # vn_planes below iterates in std-base order for the
+            # std-layout direction, vn_planes_k in plane order for the
+            # kernel-layout concatenation.
             node_of_base = {}
             for ci_, nbase, src_, dst_ in qcp.vn_cols:
                 for b in dst_:

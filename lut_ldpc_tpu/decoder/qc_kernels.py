@@ -140,9 +140,18 @@ def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
     # scratch rows: in-windows (2x double-buffered + realign copy + out)
     # in storage dtype, plus the compute's live f32 temporaries (~2 per
     # slot through the shared LOO sweeps); N=64800 dv=17 f32 B=1024
-    # measures fine at NT=192 under the 110 MB Mosaic limit
+    # measures fine at NT=192 under the 110 MB Mosaic limit.
+    # NOTE this heuristic per_row UNDERCOUNTS the allocated buffers (the
+    # actual scratch is ~(5*nslots + 3) storage rows: 2x double-buffered
+    # in-windows + realign + 2x out + cha/bits) — it is CALIBRATED by
+    # measurement (the tuned NTs below are measured optima), and the
+    # accurate per_row_hard bound against the Mosaic limit guards the
+    # compile cliff for untested (Z, B, degree) combinations.
     per_row = ((4 * nslots + 2) * itemsize + (2 * nslots + 6) * 4) * B
-    nt_budget = budget // per_row // 8 * 8
+    per_row_hard = ((5 * nslots + 3) * itemsize + 2
+                    + (2 * nslots + 6) * 4) * B
+    nt_hard = (_VMEM_LIMIT - (2 << 20)) // per_row_hard // 8 * 8
+    nt_budget = min(budget // per_row // 8 * 8, nt_hard)
     if nrows >= 16:
         # many-block plans (DVB-S2-scale irregular: 45 CN + 90 VN grid
         # rows) are DMA-issue-bound — take the largest tile the budget
@@ -800,6 +809,14 @@ def _vn_qc_kernel(*refs, chor, ops_by_class, use_tot_by_class,
     # registers; a dynamic scratch index here costs ~2x VPU throughput)
     import os as _os
     _passthru = bool(_os.environ.get("LUT_QC_VN_PASSTHROUGH"))
+    if _passthru:
+        import warnings
+
+        warnings.warn(
+            "LUT_QC_VN_PASSTHROUGH is set: the VN kernel SKIPS the "
+            "threshold trees and produces WRONG decodes — profiling "
+            "experiment only (examples/profile_qc_kernels.py)",
+            stacklevel=2)
 
     def compute(d, c, bufc):
         ch.realign(scr_in, scr_al, sp, j, bufc, d)
