@@ -48,7 +48,7 @@ def build_reuse_vec(maxiter_de: int, reuse_iters: int) -> np.ndarray:
     return reuse
 
 
-def de_sim_lut(cp, out) -> None:
+def de_sim_lut(cp, out, mesh_n: int = 0) -> None:
     from ..core.ensemble import LDPCEnsemble
     from ..design.de import ARI, DELut, get_lam2stable_lut
     from ..design.templates import get_lut_tree_templates
@@ -148,12 +148,17 @@ def de_sim_lut(cp, out) -> None:
                 # Nq_Msg from the host engine's (possibly Nq_msg_vec-
                 # overridden) resolution vector, not the qbits row;
                 # non-uniform vectors run the explorer's segmented path
+                mesh = None
+                if mesh_n:
+                    from ..parallel import dp_mesh
+
+                    mesh = dp_mesh(mesh_n)
                 tde = DELutTPU(
                     ens, 2 ** int(qb_cha), de.Nq_Msg_vec,
                     maxiter_de=maxiter_de, Pe_max=Pe_max,
                     max_ni_de_iters=max_ni_de_iters, LLR_max=LLR_max,
                     Nq_fine=Nq_fine, tree_mode=tree_mode, strategy=strategy,
-                    min_lut=min_lut)
+                    min_lut=min_lut, mesh=mesh)
                 tde.thr_min, tde.thr_max = thr_min, thr_max
                 lo = tde.threshold(points=17, rounds=2)
                 win = (thr_max - thr_min) / 16**2
@@ -322,6 +327,9 @@ def main(argv=None) -> int:
 
     ap = argparse.ArgumentParser(prog="de_sim", description=__doc__)
     ap.add_argument("-p", "--params", required=True, help="input parameter file")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard accelerator_sweep grids over an N-device "
+                         "('dp',) mesh (0 = single device)")
     args = ap.parse_args(argv)
 
     cp = configparser.ConfigParser(inline_comment_prefixes=(";", "#"))
@@ -329,7 +337,7 @@ def main(argv=None) -> int:
     with open(args.params) as f:
         cp.read_string(f.read())
     if cp.has_section("LUT"):
-        de_sim_lut(cp, None)
+        de_sim_lut(cp, None, mesh_n=args.mesh)
     elif cp.has_section("BP"):
         de_sim_bp(cp, None)
     else:

@@ -123,7 +123,8 @@ _NT_TARGET_ELEMS = 24 * 8192
 
 
 def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
-            budget: int = 95 << 20, nrows: int = 1) -> int:
+            budget: int = 95 << 20, nrows: int = 1,
+            which: str = "") -> int:
     """z-subtile size NT (multiple of 8, <= Z).
 
     Measured optimum on v5e is COMPUTE-BOUND, not VMEM-bound: the VN
@@ -134,7 +135,8 @@ def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
     constant ~200k elements per tile, clamped to the VMEM budget for
     narrow batches and to [8, Z].  LUT_QC_NT overrides for profiling
     (examples/profile_qc_kernels.py scans)."""
-    force = os.environ.get("LUT_QC_NT")
+    force = (os.environ.get(f"LUT_QC_NT_{which.upper()}") if which
+             else None) or os.environ.get("LUT_QC_NT")
     if force:
         return min(Z, max(8, int(force) // 8 * 8))
     # scratch rows: in-windows (2x double-buffered + realign copy + out)
@@ -210,8 +212,10 @@ def qc_geometry(plan, B: int, itemsize: int) -> QCGeom:
     Z = plan.Z
     max_dc = max(plan.cn_degrees)
     max_dv = max(plan.vn_degrees)
-    nt_cn = pick_nt(Z, B, max_dc, itemsize, nrows=len(plan.cn_rows))
-    nt_vn = pick_nt(Z, B, max_dv + 1, itemsize, nrows=len(plan.vn_cols))
+    nt_cn = pick_nt(Z, B, max_dc, itemsize, nrows=len(plan.cn_rows),
+                    which="cn")
+    nt_vn = pick_nt(Z, B, max_dv + 1, itemsize,
+                    nrows=len(plan.vn_cols), which="vn")
     aligned = all(
         s % 8 == 0 for _, src, _ in plan.cn_rows for _, s in src
     )

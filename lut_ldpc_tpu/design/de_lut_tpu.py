@@ -112,7 +112,8 @@ class DELutTPU:
                  maxiter_de: int = 200, Pe_max: float = 1e-6,
                  max_ni_de_iters: int = 1, LLR_max: float = 25.0,
                  Nq_fine: int = 5000, tree_mode: str = "auto_bin_balanced",
-                 strategy: str = JOINT_ROOT, host=None, min_lut: bool = True):
+                 strategy: str = JOINT_ROOT, host=None, min_lut: bool = True,
+                 mesh=None):
         if strategy not in (INDIVIDUAL, JOINT_ROOT, JOINT_LEVEL):
             raise ValueError(
                 f"DELutTPU supports individual/joint_root/joint_level "
@@ -168,8 +169,31 @@ class DELutTPU:
             raise NotImplementedError(
                 "degree-1 VNs with Nq_Cha != Nq_Msg need a real root requant"
             )
-        self._evolve = jax.jit(self._build_evolve())
+        # mesh: shard the sigma-grid / candidate axis over a ('dp',)
+        # device mesh — the TPU mapping of de_sim's thread-per-sweep-point
+        # fan-out (/root/reference/prog/de_sim.cpp:275).  Points are
+        # independent (no collectives); each shard's while_loop exits on
+        # its own points, and per-point results latch at their own exit,
+        # so sharded results equal the single-device batch exactly.
+        self.mesh = mesh
+        evolve = self._build_evolve()
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            evolve = shard_map(
+                evolve, mesh=mesh, in_specs=(P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp"), P("dp")), check_vma=False)
+        self._evolve = jax.jit(evolve)
         self._evolve_reuse = {}  # pmax -> jitted reuse-aware program
+
+    def _mesh_pad(self) -> int:
+        """Leading-axis padding multiple for sharded batches."""
+        if self.mesh is None:
+            return 1
+        import numpy as _np
+
+        return int(_np.prod(list(self.mesh.shape.values())))
 
     # -- batched quantizer DP -------------------------------------------
     def _design(self, p_sorted, K):
@@ -534,7 +558,10 @@ class DELutTPU:
                 it, v2c, done, _, ni = jax.lax.while_loop(
                     cond, body, (0, v2c0, done0, Pe0, ni0))
                 Pe = pe_of(v2c)
-                return Pe < Pe_max, Pe, it
+                # it broadcast per-point so every output shards over the
+                # grid axis (mesh path)
+                return (Pe < Pe_max, Pe,
+                        jnp.broadcast_to(it, Pe.shape).astype(jnp.int32))
 
             return evolve
 
@@ -609,7 +636,7 @@ class DELutTPU:
 
             Pe_fin = jnp.where(done, Pe_l, pe_of(v2c))
             ach = jnp.where(done, conv_l, Pe_fin < Pe_max)
-            return ach, Pe_fin, jnp.max(it_l)
+            return ach, Pe_fin, it_l  # per-point (shardable over the grid)
 
         return evolve
 
@@ -792,16 +819,31 @@ class DELutTPU:
             raise ValueError("reuse not possible for initial iteration")
         key = float(pmax)
         if key not in self._evolve_reuse:
-            self._evolve_reuse[key] = jax.jit(self._build_evolve_reuse(key))
+            fn = self._build_evolve_reuse(key)
+            if self.mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                fn = shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P("dp"), P("dp"), P("dp")),
+                    out_specs=(P("dp"), P("dp")), check_vma=False)
+            self._evolve_reuse[key] = jax.jit(fn)
         C = reuse_mat.shape[0]
+        pad = self._mesh_pad()
+        Cp = -(-C // pad) * pad
+        if Cp != C:  # wrap-pad candidate rows to the mesh size
+            reuse_mat = np.resize(reuse_mat, (Cp, reuse_mat.shape[1]))
         delta = 2 * self.LLR_max / self.Nq_fine
         fine = get_gaussian_pmf(2 / sig**2, 2 / sig, self.Nq_fine, delta)
         _, p_cha, _ = quant_mi_sym(fine, self.Nq_Cha, is_sorted=True)
         _, p_msg, _ = quant_mi_sym(fine, self.Nq_Msg, is_sorted=True)
-        cha = jnp.broadcast_to(jnp.asarray(p_cha, jnp.float32)[None], (C, self.Nq_Cha))
-        v2c = jnp.broadcast_to(jnp.asarray(p_msg, jnp.float32)[None], (C, self.Nq_Msg))
+        cha = jnp.broadcast_to(jnp.asarray(p_cha, jnp.float32)[None],
+                               (Cp, self.Nq_Cha))
+        v2c = jnp.broadcast_to(jnp.asarray(p_msg, jnp.float32)[None],
+                               (Cp, self.Nq_Msg))
         Pe, it_hit = self._evolve_reuse[key](v2c, cha, jnp.asarray(reuse_mat))
-        return np.asarray(Pe), np.asarray(it_hit)
+        return np.asarray(Pe)[:C], np.asarray(it_hit)[:C]
 
     # ------------------------------------------------------------------
     def evolve_batch(self, sigmas) -> tuple[np.ndarray, np.ndarray]:
@@ -811,9 +853,12 @@ class DELutTPU:
         de.DELut.set_channel_pmf) so only the iteration loop runs in f32.
         """
         sigmas = np.asarray(sigmas, dtype=np.float64)
+        S = len(sigmas)
+        pad = self._mesh_pad()
+        sig_run = np.resize(sigmas, -(-S // pad) * pad)  # wrap-pad to mesh
         delta = 2 * self.LLR_max / self.Nq_fine
         chas, msgs = [], []
-        for s in sigmas:
+        for s in sig_run:
             fine = get_gaussian_pmf(2 / s**2, 2 / s, self.Nq_fine, delta)
             _, p_cha, _ = quant_mi_sym(fine, self.Nq_Cha, is_sorted=True)
             _, p_msg, _ = quant_mi_sym(fine, self.Nq_Msg, is_sorted=True)
@@ -822,7 +867,7 @@ class DELutTPU:
         cha = jnp.asarray(np.stack(chas), jnp.float32)
         v2c = jnp.asarray(np.stack(msgs), jnp.float32)
         ach, Pe, _ = self._evolve(v2c, cha)
-        return np.asarray(ach), np.asarray(Pe)
+        return np.asarray(ach)[:S], np.asarray(Pe)[:S]
 
     def threshold(self, points: int = 17, rounds: int = 3,
                   refine_host: bool = False) -> float:

@@ -279,3 +279,44 @@ def test_nonuniform_nq_vec_matches_host():
     for s, a in zip(sigmas, ach):
         code, *_ = host.evolve(float(s))
         assert (code > 0) == bool(a), (s, code, a)
+
+
+def test_mesh_sharded_grid_matches_single_device(ens36):
+    """Sigma-grid evaluation sharded over the 8-device mesh equals the
+    single-device batch exactly (points are independent; per-point
+    results latch at their own exit) — the TPU mapping of de_sim's
+    thread-per-sweep-point fan-out, now scaled across the mesh."""
+    import jax
+
+    from lut_ldpc_tpu.parallel import dp_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    sigmas = np.linspace(0.80, 0.92, 11)  # 11 points: exercises wrap-pad
+    single = DELutTPU(ens36, maxiter_de=60, Pe_max=1e-6, max_ni_de_iters=30)
+    sharded = DELutTPU(ens36, maxiter_de=60, Pe_max=1e-6, max_ni_de_iters=30,
+                       mesh=dp_mesh(8))
+    a1, p1 = single.evolve_batch(sigmas)
+    a8, p8 = sharded.evolve_batch(sigmas)
+    assert np.array_equal(a1, a8)
+    assert np.array_equal(p1, p8)
+
+
+def test_mesh_sharded_reuse_matches_single_device(ens36):
+    import jax
+
+    from lut_ldpc_tpu.parallel import dp_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    M = 12
+    reuse = np.zeros((5, M), dtype=bool)  # 5 rows: exercises wrap-pad
+    for i in range(1, 5):
+        reuse[i, 2 * i] = True
+    single = DELutTPU(ens36, maxiter_de=M, Pe_max=1e-6, max_ni_de_iters=30)
+    sharded = DELutTPU(ens36, maxiter_de=M, Pe_max=1e-6, max_ni_de_iters=30,
+                       mesh=dp_mesh(8))
+    p1, i1 = single.prerank_reuse(0.85, reuse)
+    p8, i8 = sharded.prerank_reuse(0.85, reuse)
+    assert np.array_equal(p1, p8)
+    assert np.array_equal(i1, i8)
