@@ -88,7 +88,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default="lut64800",
                     choices=["lut64800", "lut64800_qc", "dvbs2_spa",
-                             "dvbs2_lut"])
+                             "dvbs2_lut", "dvbs2_lut_qc"])
     ap.add_argument("--frames", type=int, default=100000)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(ROOT, "docs", "waterfall"))
@@ -132,8 +132,17 @@ def main():
         run_one("dvbs2_N64800_spa", graph, snr, args.frames, args.batch,
                 args.out, bp=BPDecoder(graph, 50, algorithm="spa"))
     else:
-        graph = TannerGraph.from_alist(os.path.join(
-            ROOT, "codes", "rate0.50_irreg_dvbs2_N64800.alist"))
+        if args.run == "dvbs2_lut_qc":
+            # the SAME standard matrix in its Z=360 QC factorization
+            # (core/dvbs2.py): statistically identical code, fused-kernel
+            # decode path; design parameters identical to dvbs2_lut
+            from lut_ldpc_tpu.core.dvbs2 import load_periodic_alist
+
+            graph, _, _ = load_periodic_alist(os.path.join(
+                ROOT, "codes", "rate0.50_irreg_dvbs2_N64800.alist"))
+        else:
+            graph = TannerGraph.from_alist(os.path.join(
+                ROOT, "codes", "rate0.50_irreg_dvbs2_N64800.alist"))
         # the honest evaluation region: from the SPA baseline's operating
         # zone (~1 dB cliff) through the measured min-LUT cliff
         # (1.4-1.8 dB) into the floor region (2.0-3.0 dB probed with full
@@ -144,7 +153,9 @@ def main():
         # curve shows that fixed point is below finite-length resolution.
         snr = _parse_range(
             args.snr or "0.8 1.0 1.2 1.4 1.5 1.6 1.7 1.8 2.0 2.5 3.0")
-        cache = os.path.join(args.out, "dvbs2_N64800_lut_q4_codec.npz")
+        qc_tag = "_qc" if args.run == "dvbs2_lut_qc" else ""
+        cache = os.path.join(args.out,
+                             f"dvbs2_N64800_lut_q4{qc_tag}_codec.npz")
         if os.path.exists(cache):
             print("loading cached codec ...")
             codec = LUTCodec.load(cache)
@@ -154,7 +165,8 @@ def main():
             codec = LUTCodec.design(graph, 0.67**2, max_iters=50, Nq_Cha=16,
                                     Nq_Msg=16)
             codec.save(cache)
-        payload = run_one("dvbs2_N64800_lut_q4", graph, snr, args.frames,
+        payload = run_one(f"dvbs2_N64800_lut_q4{qc_tag}", graph, snr,
+                          args.frames,
                           args.batch, args.out, codec=codec,
                           nfers=max(10000, args.frames // 2),
                           ber_min=0.0, fer_min=0.0)
@@ -173,7 +185,8 @@ def main():
         payload.update(lam2=lam2, lam2_stable_at_1dB=lam2_star,
                        design_thr=0.67, thr_sigma=0.684,
                        thr_snr_db=round(float(sig2snr(0.5, 0.684)), 2))
-        out_json = os.path.join(args.out, "dvbs2_N64800_lut_q4.json")
+        out_json = os.path.join(args.out,
+                                f"dvbs2_N64800_lut_q4{qc_tag}.json")
         with open(out_json, "w") as f:
             json.dump(payload, f, indent=1)
         print("stability:", {"lam2": lam2, "lam2*": lam2_star})

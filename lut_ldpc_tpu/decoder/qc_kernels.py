@@ -45,9 +45,11 @@ bandwidth-bound):
   buffer parity (and per degree class): dynamic scratch indices inside
   the select-chain tree cost ~2x VPU throughput (and a 100x+ cliff at
   large tiles), measured on v5e.
-- NT targets ~200k elements per tile (pick_nt): the VN tree's f32
-  temporaries must stay register/VMEM-local through the chain; the fused
-  N=10000/B=8192 pass measures 8.1 ms/iter at NT=24 vs 13.5 at NT=56.
+- NT defaults to a measured-constant 24 rows per z-subtile (pick_nt):
+  small tiles keep the select-chain temporaries register/VMEM-local,
+  shrink the halo planes (mirror-write amplification is NT/Z), and
+  still amortize DMA issue; measured optimum across all three plan
+  scales (see pick_nt).
 - The z-subtile size NT is free (no Z-divisibility): the last subtile is
   clamped to z0 = Z - NT and recomputes up to NT-8 overlap rows with
   identical values (frames are independent, outputs idempotent).
@@ -119,49 +121,38 @@ def qc_kernels_supported() -> bool:
         return False
 
 
-_NT_TARGET_ELEMS = 24 * 8192
-
-
 def pick_nt(Z: int, B: int, nslots: int, itemsize: int,
             budget: int = 95 << 20, nrows: int = 1,
             which: str = "") -> int:
     """z-subtile size NT (multiple of 8, <= Z).
 
-    Measured optimum on v5e is COMPUTE-BOUND, not VMEM-bound: the VN
-    select-chain tree wants small tiles whose f32 temporaries stay close
-    to the compute units — at B=8192 the fused pass runs 8.1 ms/iter at
-    NT=24 vs 13.5 at NT=56 (the old VMEM-budget heuristic's choice) and
-    9.2 at NT=8 (per-step DMA-issue overhead).  NT therefore targets a
-    constant ~200k elements per tile, clamped to the VMEM budget for
-    narrow batches and to [8, Z].  LUT_QC_NT overrides for profiling
+    Measured optimum on v5e is a CONSTANT NT = 24 rows across radically
+    different plans — small tiles keep the select-chain temporaries close
+    to the compute units, shrink the halo planes (mirror-write
+    amplification is NT/Z, and the state arrays are n_planes*(Z+NT)
+    rows), and still amortize the per-step DMA issue:
+
+    - N=10000 (3,6) int16 B=8192:  8.1 ms/iter @24 vs 13.5 @56, 9.2 @8
+    - N=64800 dv17 QC int16 B=1024: 13.2 ms/iter @24 vs 31.9 @304 (the
+      round-4 default — its measurement predates the halo-plane mirror
+      accounting), 34.1 @88; the asymmetric CN=24/VN=304 split is also
+      worse (27.9)
+    - DVB-S2 Z=360 f32 B=1024: 63.4 Mbit/s end-to-end @24 vs 54.3 @16,
+      38.7 @8, 50.4 @88, 35.6 @360
+
+    Clamped to [8, Z] and to an accurately-counted hard VMEM bound
+    (per_row_hard: ~(5*nslots+3) storage rows of scratch + f32
+    temporaries) against the Mosaic limit.  LUT_QC_NT (both passes) or
+    LUT_QC_NT_CN / LUT_QC_NT_VN override for profiling
     (examples/profile_qc_kernels.py scans)."""
     force = (os.environ.get(f"LUT_QC_NT_{which.upper()}") if which
              else None) or os.environ.get("LUT_QC_NT")
     if force:
         return min(Z, max(8, int(force) // 8 * 8))
-    # scratch rows: in-windows (2x double-buffered + realign copy + out)
-    # in storage dtype, plus the compute's live f32 temporaries (~2 per
-    # slot through the shared LOO sweeps); N=64800 dv=17 f32 B=1024
-    # measures fine at NT=192 under the 110 MB Mosaic limit.
-    # NOTE this heuristic per_row UNDERCOUNTS the allocated buffers (the
-    # actual scratch is ~(5*nslots + 3) storage rows: 2x double-buffered
-    # in-windows + realign + 2x out + cha/bits) — it is CALIBRATED by
-    # measurement (the tuned NTs below are measured optima), and the
-    # accurate per_row_hard bound against the Mosaic limit guards the
-    # compile cliff for untested (Z, B, degree) combinations.
-    per_row = ((4 * nslots + 2) * itemsize + (2 * nslots + 6) * 4) * B
     per_row_hard = ((5 * nslots + 3) * itemsize + 2
                     + (2 * nslots + 6) * 4) * B
     nt_hard = (_VMEM_LIMIT - (2 << 20)) // per_row_hard // 8 * 8
-    nt_budget = min(budget // per_row // 8 * 8, nt_hard)
-    if nrows >= 16:
-        # many-block plans (DVB-S2-scale irregular: 45 CN + 90 VN grid
-        # rows) are DMA-issue-bound — take the largest tile the budget
-        # allows (int16 N=64800 B=1024: 28 ms/iter at NT=360 vs 30.5 at
-        # the element-target's 192)
-        return min(Z, max(8, nt_budget))
-    nt_elems = _NT_TARGET_ELEMS // B // 8 * 8
-    return min(Z, max(8, min(nt_budget, nt_elems)))
+    return min(Z, max(8, min(24, nt_hard)))
 
 
 @dataclass(frozen=True)

@@ -97,7 +97,7 @@ def test_reuse_vec_opt_cli(capsys):
     from lut_ldpc_tpu.cli.reuse_vec_opt import main
 
     rc = main([
-        "-m", "-t", "0.82", "-i", "8", "-r", "6", "-p", "1e-6",
+        "-m", "-t", "0.82", "-i", "6", "-r", "4", "-p", "1e-6",
         "-d", "3 / 1.0 / 6 / 1.0",
     ])
     assert rc == 0
@@ -105,7 +105,7 @@ def test_reuse_vec_opt_cli(capsys):
     assert "Finished." in out
     last = out.strip().splitlines()[-1]
     reuse = eval(last.split("= ")[1])
-    assert sum(reuse) == 2  # 8 iters - 6 stages
+    assert sum(reuse) == 2  # 6 iters - 4 stages
     assert reuse[0] == 0  # first iteration never reused
 
 

@@ -53,11 +53,10 @@ def test_single_spec_without_kernels(codec_mixed):
 def test_mixed_arith_selected_and_identical(codec_mixed, monkeypatch):
     """make_decoder picks MixedArithDecoder (int16 front + full-f32
     arithmetic finish) when the kernels are available, and it is
-    bit-identical to the plain full-f32 arithmetic decoder."""
-    import numpy as _np
-
-    from lut_ldpc_tpu.decoder.arith import build_arith_spec
-    from lut_ldpc_tpu.decoder.arith_decoder import ArithLUTDecoder
+    bit-identical to the table decoder (the golden-validated XLA path —
+    no second interpret-kernel compile, which dominates this file's
+    wall time; the plain-f32 kernel path is itself golden-checked in
+    test_qc_irregular)."""
     from lut_ldpc_tpu.decoder.fast_decoder import make_decoder
     from lut_ldpc_tpu.decoder.hybrid import MixedArithDecoder
 
@@ -66,9 +65,7 @@ def test_mixed_arith_selected_and_identical(codec_mixed, monkeypatch):
     dec = make_decoder(codec, early_exit=True)
     assert isinstance(dec, MixedArithDecoder)
     assert dec.S16 == 43 and dec.S == 49
-    ref = ArithLUTDecoder(
-        codec, early_exit=True,
-        spec=build_arith_spec(codec, dtype=_np.float32))
+    ref = FastLUTDecoder(codec, early_exit=True)
     rng = np.random.default_rng(11)
     sig = float(snr2sig(0.5, 1.8))  # mixed convergence across segments
     y = 1.0 + sig * rng.standard_normal((8, codec.nvar))
@@ -82,11 +79,14 @@ def test_mixed_arith_selected_and_identical(codec_mixed, monkeypatch):
 
 
 @pytest.mark.parametrize("snr", [
-    # the low-SNR point drives the label-domain tail after both arith
-    # segments — covered by the default run's 2.5 dB point plus the
-    # MixedArith continuation test, so it rides the slow lane
+    # slow lane: the int16->f32->table HybridLUTDecoder composition is a
+    # fallback configuration (make_decoder prefers MixedArithDecoder,
+    # whose decode identity runs in the default lane above); compiling
+    # its second interpret-kernel graph costs ~50 s of suite wall time.
+    # The default lane keeps the cheap structural check
+    # (test_mixed_engages_under_kernels).
     pytest.param(1.0, marks=pytest.mark.slow),
-    2.5,
+    pytest.param(2.5, marks=pytest.mark.slow),
 ])
 def test_mixed_bit_identical_to_table_decoder(codec_mixed, monkeypatch, snr):
     codec = codec_mixed

@@ -52,16 +52,21 @@ def _on_tpu() -> bool:
 
 
 def _timeit(fn, *args, reps=3, warmup=2):
+    """Min over reps: rejects host-side interference (the tunneled chip
+    shares the host with whatever else runs; a mean under load flagged a
+    33% phantom regression on an unchanged revision)."""
     import jax
     import numpy as np
 
     for _ in range(warmup):
         out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = jax.block_until_ready(fn(*args))
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    return (time.perf_counter() - t0) / reps
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _fused_ms(graph, design_thr, B, iters=50, scan_len=16):
@@ -155,7 +160,7 @@ def record() -> dict:
     jax.block_until_ready(dec(llr_cha, llr_msg))
     entry["compile_s"] = round(time.perf_counter() - t0, 1)
     entry["headline_decode_ms"] = round(
-        _timeit(lambda a, b: dec(a, b), llr_cha, llr_msg) * 1e3, 1)
+        _timeit(lambda a, b: dec(a, b), llr_cha, llr_msg, reps=5) * 1e3, 1)
     return entry
 
 
