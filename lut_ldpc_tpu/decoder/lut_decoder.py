@@ -80,9 +80,6 @@ class LUTDecoder:
     """
 
     def __init__(self, codec: LUTCodec, early_exit: bool = True):
-        if getattr(codec.graph, "qc_phantoms", ()):
-            raise ValueError(
-                "phantom-completed graphs: only the arithmetic decoders implement pinned-edge semantics")
         self.codec = codec
         self.early_exit = early_exit
         g = codec.graph
@@ -98,16 +95,55 @@ class LUTDecoder:
         self._vn_loo = {d: jnp.asarray(leave_one_out_idx(d + 1, d)) for d in self._vn_degrees}
         self._cn_loo = {d: jnp.asarray(leave_one_out_idx(d, d)) for d in self._cn_degrees}
 
+        # phantom completion edges (core/qc.py qc_expand): pinned-edge
+        # semantics per decode_ref, the golden definition — phantom v2c
+        # labels pin to the strongest positive at each CN pass, phantom
+        # nodes update with their TRUE-degree trees over the real sockets
+        # (phantom sockets mirror output 0, unanimity-transparent), and
+        # the bit syndrome ignores phantom pairs
+        self._ph = []
+        ph_by_var: dict = {}
+        for p in g.phantoms:
+            ph_by_var.setdefault(p["var"], []).append(p)
+        starts = np.concatenate([[0], np.cumsum(g.dv_vec)])
+        for v, plist in sorted(ph_by_var.items()):
+            ph_e = sorted(p["edge"] for p in plist)
+            er = [e for e in range(starts[v], starts[v + 1]) if e not in ph_e]
+            self._ph.append(dict(v=int(v), td=len(er),
+                                 er=jnp.asarray(er), ph=jnp.asarray(ph_e)))
+        self._ph_edges = (jnp.asarray(sorted(
+            p["edge"] for p in g.phantoms)) if g.phantoms else None)
+        if g.phantoms:
+            # syndrome gathers read phantom (check, var) slots from a
+            # zero column appended to the bits tensor
+            ph_pairs = {(p["chk"], p["var"]) for p in g.phantoms}
+            self._cn_var_idx_synd = {}
+            for d in self._cn_degrees:
+                idx = np.asarray(g.cn_var_idx[d]).copy()
+                for r, c in enumerate(g.cn_node_idx[d]):
+                    for k in range(d):
+                        if (int(c), int(idx[r, k])) in ph_pairs:
+                            idx[r, k] = g.nvar
+                self._cn_var_idx_synd[d] = jnp.asarray(idx)
+        else:
+            self._cn_var_idx_synd = self._cn_var_idx
+
         # compile trees -> programs (cached: reused iterations share objects)
         self._prog_cache: dict[int, tuple[TreeProgram, list]] = {}
         self._var_progs = {}  # (iter, degree) -> (prog, tables)
         self._chk_progs = {}
+        ph_tds = sorted({p["td"] for p in self._ph})
         for ii in range(codec.max_iters):
             for d in self._vn_degrees:
                 self._var_progs[(ii, d)] = self._compile(codec.var_tree(ii, d))
+            for td in ph_tds:
+                self._var_progs[(ii, td)] = self._compile(
+                    codec.var_tree(ii, td))
             if not codec.min_lut:
                 for d in self._cn_degrees:
                     self._chk_progs[(ii, d)] = self._compile(codec.chk_tree(ii, d))
+        self._ph_loo = {td: jnp.asarray(leave_one_out_idx(td + 1, td))
+                        for td in ph_tds}
         self._decode = jax.jit(self._build())
 
     def _compile(self, tree):
@@ -126,6 +162,8 @@ class LUTDecoder:
 
         def cn_pass(msgs, ii):
             nz = Nq_Msg[ii] // 2
+            if self._ph_edges is not None:  # pin: strongest positive
+                msgs = msgs.at[:, self._ph_edges].set(2 * nz - 1)
             for d in self._cn_degrees:
                 idx = self._cn_edge_idx[d]
                 m = msgs[:, idx]  # (B, m_d, d)
@@ -148,6 +186,17 @@ class LUTDecoder:
                 prog, tables = self._var_progs[(ii, d)]
                 out = _eval_program(prog, tables, x)
                 msgs = msgs.at[:, idx].set(out)
+            for p in self._ph:  # true-degree update over real sockets
+                td = p["td"]
+                m = msgs[:, p["er"]]
+                llr = llr_cha[:, p["v"]]
+                inp = jnp.concatenate([m, llr[:, None]], axis=-1)[:, None, :]
+                x = inp[:, :, self._ph_loo[td]]  # (B, 1, td, td)
+                prog, tables = self._var_progs[(ii, td)]
+                out = _eval_program(prog, tables, x)[:, 0]  # (B, td)
+                msgs = msgs.at[:, p["er"]].set(out)
+                # phantom sockets mirror output 0 (unanimity-transparent)
+                msgs = msgs.at[:, p["ph"]].set(out[:, :1])
             return msgs
 
         def hard_bits_unanimous(msgs, nz):
@@ -166,8 +215,13 @@ class LUTDecoder:
 
         def syndrome_ok(bits):
             ok = jnp.ones((bits.shape[0],), dtype=bool)
+            if self._ph:  # phantom pairs read the appended zero column
+                bits = jnp.concatenate(
+                    [bits, jnp.zeros((bits.shape[0], 1), bits.dtype)], axis=1)
             for d in self._cn_degrees:
-                s = jnp.sum(bits[:, self._cn_var_idx[d]].astype(jnp.int32), axis=-1) & 1
+                s = jnp.sum(
+                    bits[:, self._cn_var_idx_synd[d]].astype(jnp.int32),
+                    axis=-1) & 1
                 ok = ok & jnp.all(s == 0, axis=-1)
             return ok
 
@@ -181,6 +235,13 @@ class LUTDecoder:
                 prog, tables = self._var_progs[(max_iters - 1, d)]
                 out = _eval_program(prog, tables, x)  # (B, n_d), in {0, 1}
                 bits = bits.at[:, self._vn_node_idx[d]].set((out < 1).astype(jnp.uint8))
+            for p in self._ph:  # true-degree decision tree
+                m = msgs[:, p["er"]]
+                llr = llr_cha[:, p["v"]]
+                x = jnp.concatenate([m, llr[:, None]], axis=-1)
+                prog, tables = self._var_progs[(max_iters - 1, p["td"])]
+                out = _eval_program(prog, tables, x)  # (B,)
+                bits = bits.at[:, p["v"]].set((out < 1).astype(jnp.uint8))
             return bits
 
         def decode(llr_cha, llr_msg):

@@ -85,7 +85,14 @@ class StagedLUTDecoder:
         if self.full is None:
             from .fast_decoder import FastLUTDecoder
 
-            self.full = FastLUTDecoder(codec, early_exit=True)
+            try:
+                self.full = FastLUTDecoder(codec, early_exit=True)
+            except ValueError:
+                # phantom-completed graphs / non-uniform resolutions:
+                # the general unrolled decoder is the universal fallback
+                from .lut_decoder import LUTDecoder
+
+                self.full = LUTDecoder(codec, early_exit=True)
         # adaptation state: per-frame iteration counts observed so far
         self._iters_seen: list[np.ndarray] = []
         # cap per-call batch of later stages on big graphs: the table-decoder

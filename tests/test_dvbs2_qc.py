@@ -174,13 +174,30 @@ def test_arith_kernel_matches_decode_ref(analog_codec, monkeypatch):
         assert ok[b] == (want_it > 0), f"frame {b}"
 
 
-def test_other_decoders_reject_phantoms(analog_codec):
-    from lut_ldpc_tpu.decoder.fast_decoder import FastLUTDecoder
+def test_table_decoder_matches_decode_ref(analog_codec):
+    """The general unrolled table decoder (the universal fallback for
+    codecs with no arithmetic representation) implements the same
+    pinned-edge semantics."""
+    import numpy as np
+
     from lut_ldpc_tpu.decoder.lut_decoder import LUTDecoder
 
-    for cls in (FastLUTDecoder, LUTDecoder):
-        with pytest.raises(ValueError):
-            cls(analog_codec)
+    codec = analog_codec
+    dec = LUTDecoder(codec, early_exit=True)
+    llr_cha, llr_msg = _frames(codec, 16, 9)
+    bits, ok, iters = (np.asarray(x) for x in dec(llr_cha, llr_msg))
+    for b in range(16):
+        want, want_it = codec.decode_ref(llr_cha[b], llr_msg[b])
+        assert np.array_equal(bits[b], want), f"frame {b}"
+        assert iters[b] == abs(want_it), f"frame {b}"
+        assert ok[b] == (want_it > 0), f"frame {b}"
+
+
+def test_fast_decoder_rejects_phantoms(analog_codec):
+    from lut_ldpc_tpu.decoder.fast_decoder import FastLUTDecoder
+
+    with pytest.raises(ValueError):
+        FastLUTDecoder(analog_codec)
 
 
 def test_real_dvbs2_structure():
