@@ -217,3 +217,39 @@ def test_real_dvbs2_structure():
     assert qc.Z == 360 and qc.mb == 90 and qc.nb == 180
     assert (qc.base2 >= 0).sum() == 8
     assert qc.phantoms == ((179, 359, 0, 0),)
+
+
+def test_detection_rejects_unstructured():
+    """Matrices without the 360-periodic structure return None (the sim
+    CLI then falls back to the gather path)."""
+    rng = np.random.default_rng(0)
+    N, M, Zt = 32, 16, 8
+    cols = [np.sort(rng.choice(M, size=3, replace=False)) for _ in range(N)]
+    assert periodic_qc_structure(cols, N, M, Zt) is None
+
+
+def test_detection_weight3_rejected():
+    """Three shifts landing in one cell exceed the base/base2 capacity."""
+    Zt, q = 8, 2
+    M, K = Zt * q, Zt * 2
+    cols = []
+    for g in ([0, 2, 4],):  # residues 0,0,0 mod q=2 -> weight-3 cell
+        for t in range(Zt):
+            cols.append(np.array(sorted((x + t * q) % M for x in g)))
+    cols += [np.array(sorted({j, j + 1} & set(range(M))))
+             for j in range(M)]
+    N = len(cols)
+    assert periodic_qc_structure(cols, N, M, Zt) is None
+
+
+def test_qc_structure_roundtrip(analog, tmp_path):
+    """save_qc/load_qc preserve base2 and phantoms."""
+    from lut_ldpc_tpu.core.qc import load_qc, save_qc
+
+    qc = analog[0]
+    p = tmp_path / "toy.qc.json"
+    save_qc(str(p), qc)
+    qc2 = load_qc(str(p))
+    assert np.array_equal(qc.base, qc2.base)
+    assert np.array_equal(qc.base2, qc2.base2)
+    assert qc.phantoms == qc2.phantoms
