@@ -377,9 +377,10 @@ def run_from_config(
             from ..core.dvbs2 import load_periodic_alist
 
             try:
-                graph, _, _ = load_periodic_alist(alist)
+                Zd = config.ldpc.qc_detect_Z
+                graph, _, _ = load_periodic_alist(alist, Zd)
                 if verbose:
-                    print(f"QC structure detected (Z=360): fused kernel "
+                    print(f"QC structure detected (Z={Zd}): fused kernel "
                           f"path enabled for {os.path.basename(alist)}")
             except ValueError:
                 pass

@@ -69,6 +69,7 @@ class LDPCConfig:
     # frame-bit-identical to the unpermuted realization — default off to
     # keep result files reproducible against earlier runs.
     qc_detect: bool = False
+    qc_detect_Z: int = 360  # circulant size to try (the ETSI standard's 360)
 
 
 @dataclass
@@ -161,6 +162,7 @@ def parse_ini(path: str) -> BERSimConfig:
         save_permuted=get("LDPC", "save_permuted", ld.save_permuted, bool),
         parity_check_iter=get("LDPC", "parity_check_iter", ld.parity_check_iter, bool),
         qc_detect=get("LDPC", "qc_detect", ld.qc_detect, bool),
+        qc_detect_Z=get("LDPC", "qc_detect_Z", ld.qc_detect_Z, int),
     )
     bp = lut = None
     codec_type = get("Sim", "codec_type", "")

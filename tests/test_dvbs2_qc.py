@@ -253,3 +253,43 @@ def test_qc_structure_roundtrip(analog, tmp_path):
     assert np.array_equal(qc.base, qc2.base)
     assert np.array_equal(qc.base2, qc2.base2)
     assert qc.phantoms == qc2.phantoms
+
+
+def test_sim_qc_detect_ini(analog, tmp_path):
+    """LDPC.qc_detect=1 factorizes the alist inside run_from_config and
+    the sim runs on the phantom-completed graph end to end."""
+    from lut_ldpc_tpu.core.alist import write_alist
+    from lut_ldpc_tpu.sim.ber_sim import run_from_config
+    from lut_ldpc_tpu.sim.config import parse_ini
+
+    qc, g, col_perm, row_perm, cols = analog
+    H = np.zeros((M, N), np.uint8)
+    for c, rows in enumerate(cols):
+        H[rows, c] = 1
+    alist = tmp_path / "toy_dvbs2.alist"
+    write_alist(str(alist), H)
+    ini = tmp_path / "sim.ini"
+    ini.write_text(f"""[Sim]
+SNRdB = 3.0
+Nframes = 32
+Nfers = 1000000
+batch_size = 32
+results_dir = {tmp_path}/results
+[LDPC]
+parity_filename = {alist}
+zero_codeword = 1
+qc_detect = 1
+qc_detect_Z = 16
+[LUT]
+max_iter = 6
+design_thr = 0.9
+qbits_channel = 4
+qbits_message_uniform = 4
+min_lut = 1
+""")
+    cfg = parse_ini(str(ini))
+    assert cfg.ldpc.qc_detect
+    res, sim = run_from_config(cfg, codes_root=str(tmp_path), seed=0,
+                               verbose=False)
+    assert sim.graph.phantoms  # the factorized graph was used
+    assert int(res.frames[0]) == 32
