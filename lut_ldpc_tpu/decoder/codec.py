@@ -443,6 +443,18 @@ class LUTCodec:
         if self.gen_perm is not None:
             arrays["gen_perm"] = self.gen_perm.astype(np.int64)
             arrays["gen_T"] = self.gen_T.astype(np.uint8)
+        qc = getattr(g, "qc", None)
+        if qc is not None:
+            # persist the quasi-cyclic structure so a reloaded codec keeps
+            # the SAME graph realization (slot order = leaf assignment)
+            # and the fused-kernel decode path; phantom completions ride
+            # along (cols_flat/to_dense stay the TRUE matrix)
+            arrays["qc_Z"] = np.int64(qc.Z)
+            arrays["qc_base"] = np.asarray(qc.base, np.int64)
+            if qc.base2 is not None:
+                arrays["qc_base2"] = np.asarray(qc.base2, np.int64)
+            if qc.phantoms:
+                arrays["qc_phantoms"] = np.asarray(qc.phantoms, np.int64)
         if self.pmf_cha_design is not None:
             arrays["pmf_cha_design"] = self.pmf_cha_design
         if self.pmf_chk2var_trace is not None:
@@ -462,10 +474,25 @@ class LUTCodec:
         nvar = int(z["nvar"])
         nchk = int(z["nchk"])
         dv_vec = z["dv_vec"]
-        cols_flat = z["cols_flat"]
-        starts = np.concatenate([[0], np.cumsum(dv_vec)])
-        cols = [cols_flat[starts[v] : starts[v + 1]] for v in range(nvar)]
-        graph = TannerGraph.from_cols(cols, nvar, nchk)
+        if "qc_Z" in z.files:
+            from ..core.qc import QCStructure, qc_expand
+
+            qc = QCStructure(
+                Z=int(z["qc_Z"]), mb=z["qc_base"].shape[0],
+                nb=z["qc_base"].shape[1], base=z["qc_base"],
+                base2=z["qc_base2"] if "qc_base2" in z.files else None,
+                phantoms=tuple(tuple(int(x) for x in row)
+                               for row in z["qc_phantoms"])
+                if "qc_phantoms" in z.files else (),
+            )
+            graph = qc_expand(qc)  # identical realization + kernel path
+            if graph.nvar != nvar or graph.nchk != nchk:
+                raise ValueError("codec qc structure inconsistent")
+        else:
+            cols_flat = z["cols_flat"]
+            starts = np.concatenate([[0], np.cumsum(dv_vec)])
+            cols = [cols_flat[starts[v] : starts[v + 1]] for v in range(nvar)]
+            graph = TannerGraph.from_cols(cols, nvar, nchk)
         var_trees = deserialize_tree_array(io.StringIO(str(z["var_tree_string"])))
         chk_trees = deserialize_tree_array(io.StringIO(str(z["chk_tree_string"])))
         pmf_trace = None

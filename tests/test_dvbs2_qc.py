@@ -293,3 +293,20 @@ min_lut = 1
                                verbose=False)
     assert sim.graph.phantoms  # the factorized graph was used
     assert int(res.frames[0]) == 32
+
+
+def test_codec_roundtrip_preserves_qc(analog_codec, tmp_path):
+    """save/load keeps the QC structure, phantoms, and decode results
+    (same realization, same kernel path)."""
+    codec = analog_codec
+    p = str(tmp_path / "qc_codec")
+    codec.save(p)
+    codec2 = LUTCodec.load(p + ".npz")
+    assert getattr(codec2.graph, "qc", None) is not None
+    assert codec2.graph.phantoms and (
+        codec2.graph.phantoms[0]["edge"] == codec.graph.phantoms[0]["edge"])
+    lc, lm = _frames(codec, 6, 21)
+    for b in range(6):
+        b1, i1 = codec.decode_ref(lc[b], lm[b])
+        b2, i2 = codec2.decode_ref(lc[b], lm[b])
+        assert np.array_equal(b1, b2) and i1 == i2
