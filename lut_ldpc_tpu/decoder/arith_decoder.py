@@ -101,7 +101,9 @@ class ArithLUTDecoder:
             self._qc_copies = qcp.copies if qcp is not None else None
             self._qc = qc
         self._build_constants()
-        self._decode = jax.jit(self._build_qc_pallas() or self._build())
+        self._decode = jax.jit(self._build_qc_pallas()
+                               or self._build_std_kernels()
+                               or self._build())
 
     def _use_qc_kernels(self) -> bool:
         """Fused Pallas path: QC graph (arbitrary shifts, any degree mix),
@@ -611,7 +613,9 @@ class ArithLUTDecoder:
         HybridLUTDecoder's label-domain continuation tail."""
         if not self.early_exit:
             raise ValueError("raw carry requires early_exit")
-        return self._build_qc_pallas(raw=True) or self._build(raw=True)
+        return (self._build_qc_pallas(raw=True)
+                or self._build_std_kernels(raw=True)
+                or self._build(raw=True))
 
     # ------------------------------------------------------------------
     def _build(self, raw: bool = False):
@@ -840,6 +844,225 @@ class ArithLUTDecoder:
             if w >= floor and w < widths[-1]:
                 widths.append(w)
         return widths
+
+    # ------------------------------------------------------------------
+    def _use_std_kernels(self) -> bool:
+        """STD-layout Pallas compute kernels for arbitrary (non-QC)
+        graphs: the permutation stays an XLA row gather, the CN/VN
+        compute runs in qc_kernels.cn_std_pass / vn_std_pass."""
+        import os
+
+        from .qc_kernels import qc_kernels_supported
+
+        if os.environ.get("LUT_LDPC_NO_STD_KERNELS"):
+            return False
+        if self._dtype_np not in (np.dtype(np.int16), np.dtype(np.float32)):
+            return False
+        return qc_kernels_supported()
+
+    def _build_std_kernels(self, raw: bool = False):
+        """Gather-permutation decode loop with kernel compute.
+
+        The same early-exit carry structure as _build_qc_pallas (bits_p /
+        unan_p from the previous VN pass, synd from the CN pass's input
+        signs), bit-identical to _build() / the scalar golden model; the
+        funnel, phantom pinned-edge semantics, and XLA decision tail are
+        shared contracts.  ~4x the XLA elementwise path's compute speed
+        on the PEG N=64800 code (the r01 profile's compute:gather ratio
+        bound the gather path at ~11 Mbit/s)."""
+        if not self._use_std_kernels():
+            return None
+        if self._ph and any(p["td"] != 1 for p in self._ph):
+            return None  # input-copy unanimity trick covers true degree 1
+        from . import qc_kernels as qk
+
+        lay = self.layout
+        T = self.T
+        early_exit = self.early_exit
+        nvp = lay.nvar_pad
+        structs = [self._var_struct[di] for di in self._spec_di]
+        flags_blk = [self._op_flags[di] for di in self._spec_di]
+        use_tots = [
+            st.ops[0].operands == tuple(range(blk.degree - 1))
+            and blk.degree >= 3 and self._is_int
+            for st, blk in zip(structs, lay.vn_blocks)
+        ]
+        op_keys = qk.kernel_op_keys(flags_blk)
+        KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
+
+        def decode(llr_cha, llr_msg):
+            B = llr_cha.shape[0]
+            cha_lab = llr_cha[:, self._vn_nodes].T
+            msg_lab = llr_msg[:, self._vn_nodes].T
+            vcha = self._select_values(cha_lab, self._leaf_cha)
+            v0 = self._select_values(msg_lab, self._leaf_msg0)
+            parts = []
+            for blk in lay.vn_blocks:
+                seg = v0[blk.node_start : blk.node_start + blk.n_pad]
+                parts.append(
+                    jnp.broadcast_to(seg[None], (blk.degree, blk.n_pad, B))
+                    .reshape(-1, B))
+            m_vn = jnp.concatenate(parts, axis=0)  # (E_vn_pad, B)
+            pin = (jnp.asarray(self._pin, self._dtype) if self._ph
+                   else None)
+            for p in self._ph:
+                m_vn = m_vn.at[jnp.asarray(p["rows_ph"])].set(pin)
+
+            bits_p = jnp.zeros((nvp, B), dtype=jnp.int8)
+            unan_p = jnp.zeros((B,), dtype=bool)
+            done = jnp.zeros((B,), dtype=bool)
+            latched = jnp.zeros((nvp, B), dtype=jnp.int8)
+            iters = jnp.full((B,), T, dtype=jnp.int32)
+
+            def body(carry, x, vcha_s):
+                m_vn, bits_p, unan_p, done, latched, iters = carry
+                it = x["it"]
+                m_cn = self._ph_pin_cn(self._permute_v2c(m_vn))
+                m_cn, synd = qk.cn_std_pass(m_cn, lay.cn_blocks)
+                if early_exit:
+                    conv = unan_p & synd & (it >= 1) & ~done
+                    latched = jnp.where(conv[None, :], bits_p, latched)
+                    iters = jnp.where(conv, it, iters)
+                    done = done | conv
+                m_new = self._permute_c2v(m_cn)
+                # phantom nodes: equalize inputs (in-kernel unanimity
+                # trivially true — exact for true degree 1)
+                for p in self._ph:
+                    m_new = m_new.at[jnp.asarray(p["rows_ph"])].set(
+                        m_new[p["rows_real"][0]])
+                prm_it = [
+                    [
+                        {ks: op[k] for ks, k in zip(KSLOTS, keys)}
+                        for op, keys in zip(x["var"][self._spec_di[bi]],
+                                            op_keys[bi])
+                    ]
+                    for bi in range(len(structs))
+                ]
+                m_vn, bits_p, unan_p = qk.vn_std_pass(
+                    m_new, vcha_s, lay.vn_blocks, nvp, structs, prm_it,
+                    use_tots, flags_blk)
+                for p in self._ph:
+                    po = self._ph_node_outputs(
+                        p, [m_new[r] for r in p["rows_real"]],
+                        vcha_s[p["node_row"]], x["var"][p["di"]])
+                    for r, o in zip(p["rows_real"], po):
+                        m_vn = m_vn.at[r].set(o)
+                    m_vn = m_vn.at[jnp.asarray(p["rows_ph"])].set(pin)
+                    bits_p = bits_p.at[p["node_row"]].set(
+                        (po[0] < 0).astype(bits_p.dtype))
+                return (m_vn, bits_p, unan_p, done, latched, iters), None
+
+            xs = dict(it=jnp.arange(self.S, dtype=jnp.int32),
+                      var=self._var_xs)
+            if early_exit and self.S > 0:
+                S = self.S
+
+                def make_loop(vcha_s, stop_live):
+                    def wbody(carry):
+                        it = carry[0]
+                        x = dict(
+                            it=it,
+                            var=jax.tree_util.tree_map(
+                                lambda a: a[it], self._var_xs),
+                        )
+                        new_carry, _ = body(carry[1:], x, vcha_s)
+                        return (it + 1,) + new_carry
+
+                    def wcond(carry):
+                        live = jnp.sum(~carry[4])
+                        return (carry[0] < S) & (live > stop_live)
+
+                    return wcond, wbody
+
+                widths = self._funnel_widths(B)
+                it = jnp.zeros((), jnp.int32)
+                vcha_s = vcha
+                stack = []
+                for si, W in enumerate(widths):
+                    nxt = widths[si + 1] if si + 1 < len(widths) else 0
+                    wcond, wbody = make_loop(vcha_s, nxt)
+                    (it, m_vn, bits_p, unan_p, done, latched,
+                     iters) = jax.lax.while_loop(
+                        wcond, wbody,
+                        (it, m_vn, bits_p, unan_p, done, latched, iters),
+                    )
+                    if nxt:
+                        idx = jnp.argsort(done)[:nxt]
+                        stack.append(
+                            (idx, (m_vn, bits_p, unan_p, done, latched,
+                                   iters)))
+                        m_vn = m_vn[:, idx]
+                        bits_p = bits_p[:, idx]
+                        unan_p = unan_p[idx]
+                        done = done[idx]
+                        latched = latched[:, idx]
+                        iters = iters[idx]
+                        vcha_s = vcha_s[:, idx]
+                for idx, full in reversed(stack):
+                    fm, fb, fu, fd, fl, fi = full
+                    m_vn = fm.at[:, idx].set(m_vn)
+                    bits_p = fb.at[:, idx].set(bits_p)
+                    unan_p = fu.at[idx].set(unan_p)
+                    done = fd.at[idx].set(done)
+                    latched = fl.at[:, idx].set(latched)
+                    iters = fi.at[idx].set(iters)
+            else:
+                (m_vn, bits_p, unan_p, done, latched, iters), _ = (
+                    jax.lax.scan(
+                        functools.partial(body, vcha_s=vcha),
+                        (m_vn, bits_p, unan_p, done, latched, iters), xs))
+
+            if raw:
+                return m_vn, done, latched.astype(jnp.uint8), iters
+
+            m_cn = self._ph_pin_cn(self._permute_v2c(m_vn))
+            m_cn_out, synd = qk.cn_std_pass(m_cn, lay.cn_blocks)
+            if early_exit and self.S >= 1:
+                conv = unan_p & synd & ~done
+                latched = jnp.where(conv[None, :], bits_p, latched)
+                iters = jnp.where(conv, self.S, iters)
+                done = done | conv
+
+            if self.is_prefix:
+                bits = jnp.take(latched, self._vn_node_pos, axis=0).T
+                return bits.astype(jnp.uint8), done, iters
+
+            m_fin = self._permute_c2v(m_cn_out)
+            dec_bits = []
+            cha_blocks = [vcha[blk.node_start : blk.node_start + blk.n_pad]
+                          for blk in lay.vn_blocks]
+            for bi, blk in enumerate(lay.vn_blocks):
+                d, n, e0 = blk.degree, blk.n_pad, blk.edge_start
+                m = m_fin[e0 : e0 + n * d].reshape(d, n, B)
+                spec = self._dec_specs[self._spec_di[bi]]
+                x_vals = [m[j] for j in range(d)] + [cha_blocks[bi]]
+                prm, fp = self._dec_prm(spec)
+                out = self._eval_tree(spec, x_vals, prm, fp=fp)
+                dec_bits.append((out < 0).astype(jnp.int8))
+            dec_bits = jnp.concatenate(dec_bits, axis=0)
+            dec_bits = self._ph_dec_fix(dec_bits, m_fin, cha_blocks)
+
+            bits_grp = jnp.where(done[None, :], latched, dec_bits)
+            edge_bits = jnp.take(bits_grp, self._cn_var_pos, axis=0)
+            edge_bits = self._ph_zero_edge_bits(edge_bits)
+            s_ok = None
+            pos = 0
+            for bi, blk in enumerate(lay.cn_blocks):
+                d, n = blk.degree, blk.n_pad
+                s = jnp.sum(
+                    edge_bits[pos : pos + n * d].reshape(d, n, B)
+                    .astype(jnp.int32),
+                    axis=0,
+                ) & 1
+                ok = jnp.all((s == 0) | self._cn_padmask[bi][:, None],
+                             axis=0)
+                s_ok = ok if s_ok is None else (s_ok & ok)
+                pos += n * d
+            ok = done | s_ok
+            bits = jnp.take(bits_grp, self._vn_node_pos, axis=0).T
+            return bits.astype(jnp.uint8), ok, iters
+
+        return decode
 
     # ------------------------------------------------------------------
     def _build_qc_pallas(self, raw: bool = False, cont_from=None):

@@ -95,6 +95,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "QCGeom", "qc_geometry", "plane_index",
     "cn_qc_pass", "vn_qc_pass", "qc_kernels_supported", "pick_nt",
+    "cn_std_pass", "vn_std_pass",
 ]
 
 _VMEM_LIMIT = 110 * 1024 * 1024
@@ -433,6 +434,14 @@ def _for_class(ranges_d, row, body):
         @pl.when(_in_class(row, lo, hi))
         def _(d=d):
             body(d)
+
+
+def _for_class_std(ranges_d, row, body):
+    """STD-kernel variant: ranges carry (lo, hi, degree, ntb)."""
+    for lo, hi, d, ntb in ranges_d:
+        @pl.when(_in_class(row, lo, hi))
+        def _(d=d, ntb=ntb):
+            body(d, ntb)
 
 
 # ---------------------------------------------------------------------------
@@ -991,3 +1000,429 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
     # (nvar_pad, B) pass per iteration; callers cast once after the loop
     return (out.reshape(geom.rows_vn, B), bits,
             unan.reshape(-1, 8, B)[:, 0].min(axis=0) != 0)
+
+
+# ---------------------------------------------------------------------------
+# STD-layout kernels: arbitrary (non-QC) graphs
+# ---------------------------------------------------------------------------
+#
+# For unstructured alists (the reference's PEG codes and any matrix with
+# no circulant factorization) the message permutation stays an XLA row
+# gather, but the COMPUTE — which dominates the gather path ~4:1 (BASELINE
+# r01 profile) — runs in these kernels instead of XLA elementwise fusion:
+# the same shared-sweep leave-one-out threshold trees and two-min CN
+# update as the fused QC kernels, reading/writing CONTIGUOUS slot planes
+# of the standard slot-major grouped layout (fast_layout.GroupedLayout,
+# align=16 so every tile offset is 8-aligned).  No shifts, no halo
+# planes, no realign — each grid step DMAs d exact (NT, B) slabs in,
+# computes, and DMAs d slabs back to the SAME rows.  Per-step parameters
+# (slot bases, channel base, real-row count for pad masking) come from
+# SMEM tables exactly like the QC choreography.
+
+def _std_nt(B: int, d: int, itemsize: int) -> int:
+    """Tile rows for the std kernels: the same measured-24 default and
+    accurate VMEM hard bound as pick_nt (no halo here, but the compute
+    locality argument is identical); LUT_STD_NT overrides for scans."""
+    force = os.environ.get("LUT_STD_NT")
+    per_row_hard = ((5 * d + 3) * itemsize + 2 + (2 * d + 6) * 4) * B
+    nt_hard = (_VMEM_LIMIT - (2 << 20)) // per_row_hard // 8 * 8
+    if force:
+        return max(8, min(int(force) // 8 * 8, nt_hard))
+    return max(8, min(24, nt_hard))
+
+
+def _std_schedule(blocks, nt):
+    """Flat step tables for a grouped-block side.
+
+    Each degree class tiles its own n_pad with ntb = min(nt, n_pad) rows
+    (always a multiple of 8 since align=16 pads every block), so small
+    classes never read or write past their planes; the scratch is sized
+    for the LARGEST ntb and per-class branches copy/compute static
+    [0:ntb) slices.  Returns (ranges_d with (lo, hi, degree, ntb),
+    class_order, base (nrows, max_d) row starts per slot, node0 (nrows,)
+    node-row starts, nreal (nrows,) real rows in tile, NT_max)."""
+    rows = []
+    class_of = []
+    ntb_of_class = {}
+    for ci, blk in enumerate(blocks):
+        d, n_pad = blk.degree, blk.n_pad
+        ntb = max(8, min(nt(d), n_pad) // 8 * 8)
+        ntb_of_class[ci] = ntb
+        t0s = [min(t * ntb, n_pad - ntb) for t in range(-(-n_pad // ntb))]
+        for t0 in t0s:
+            base = [blk.edge_start + k * n_pad + t0 for k in range(d)]
+            nreal = max(0, min(blk.num_nodes - t0, ntb))
+            rows.append((base, blk.node_start + t0, nreal))
+            class_of.append(ci)
+    max_d = max(blk.degree for blk in blocks)
+    nrows = len(rows)
+    base = np.zeros((nrows, max_d), np.int64)
+    node0 = np.zeros((nrows,), np.int64)
+    nreal = np.zeros((nrows,), np.int64)
+    for r, (b, n0, nr) in enumerate(rows):
+        base[r, : len(b)] = b
+        node0[r] = n0
+        nreal[r] = nr
+    ranges = tuple((lo, hi, blocks[ci].degree, ntb_of_class[ci])
+                   for lo, hi, ci in _class_ranges(class_of))
+    class_order = tuple(ci for _, _, ci in _class_ranges(class_of))
+    return (ranges, class_order, base, node0, nreal,
+            max(ntb_of_class.values()))
+
+
+class _StdChor:
+    """Double-buffered contiguous-slab choreography (no halo/realign).
+    Per-class tile length ntb <= NT: copies move static [0:ntb) slices
+    of the NT-sized scratch (tail rows hold stale garbage, never
+    consumed: compute results there are masked / not written back)."""
+
+    def __init__(self, NT, ranges_d):
+        self.NT = NT
+        self.ranges_d = ranges_d
+
+    def start_in(self, m_ref, scr_in, sem_in, base8, row, buf, d, ntb):
+        # base8 is TRANSPOSED (max_d, nrows): SMEM pads the minor dim to
+        # 128 lanes, so (nrows, max_d) tables would blow the 1 MB SMEM
+        # at DVB-S2-scale row counts
+        for k in range(d):
+            pltpu.make_async_copy(
+                m_ref.at[pl.ds(pl.multiple_of(base8[k, row] * 8, 8), ntb)],
+                scr_in.at[buf, k, pl.ds(0, ntb)], sem_in.at[buf, k],
+            ).start()
+
+    def wait_in(self, scr_in, sem_in, buf, d):
+        for k in range(d):
+            pltpu.make_async_copy(
+                scr_in.at[buf, k], scr_in.at[buf, k], sem_in.at[buf, k]
+            ).wait()
+
+    def out_dma(self, o_ref, scr_out, sem_out, base8, row, buf, k, ntb):
+        return pltpu.make_async_copy(
+            scr_out.at[buf, k, pl.ds(0, ntb)],
+            o_ref.at[pl.ds(pl.multiple_of(base8[k, row] * 8, 8), ntb)],
+            sem_out.at[buf, k],
+        )
+
+    def start_out(self, o_ref, scr_out, sem_out, base8, row, buf, d, ntb):
+        for k in range(d):
+            self.out_dma(o_ref, scr_out, sem_out, base8, row, buf, k,
+                         ntb).start()
+
+    def drain_out(self, o_ref, scr_out, sem_out, base8, row, buf, d, ntb):
+        for k in range(d):
+            self.out_dma(o_ref, scr_out, sem_out, base8, row, buf, k,
+                         ntb).wait()
+
+
+def _cn_std_kernel(base8, nreal, m_ref, o_ref, synd_ref, scr_in, scr_out,
+                   sem_in, sem_out, *, chor, out_dtype):
+    ch = chor
+    st = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    buf = jax.lax.rem(st, 2)
+
+    @pl.when(st == 0)
+    def _():
+        _for_class_std(ch.ranges_d, st,
+                       lambda d, nt: ch.start_in(m_ref, scr_in, sem_in,
+                                                 base8, st, buf, d, nt))
+    @pl.when(st + 1 < nsteps)
+    def _():
+        _for_class_std(ch.ranges_d, st + 1,
+                       lambda d, nt: ch.start_in(m_ref, scr_in, sem_in,
+                                                 base8, st + 1, 1 - buf,
+                                                 d, nt))
+    _for_class_std(ch.ranges_d, st,
+                   lambda d, nt: ch.wait_in(scr_in, sem_in, buf, d))
+
+    @pl.when(st >= 2)
+    def _():
+        _for_class_std(ch.ranges_d, st - 2,
+                       lambda d, nt: ch.drain_out(o_ref, scr_out, sem_out,
+                                                  base8, st - 2, buf, d,
+                                                  nt))
+
+    B = scr_out.shape[-1]
+    NT = ch.NT
+    cdt = jnp.float32
+    INF = jnp.asarray(np.inf, cdt)
+
+    def compute(d, bufc):
+        x = [scr_in[bufc, k].astype(cdt) for k in range(d)]
+        neg_par = x[0] < 0
+        min1, min2 = jnp.abs(x[0]), jnp.full((NT, B), INF, cdt)
+        for k in range(1, d):
+            neg_par = neg_par ^ (x[k] < 0)
+            mag = jnp.abs(x[k])
+            min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
+            min1 = jnp.minimum(min1, mag)
+        for k in range(d):
+            tmp = jnp.where(jnp.abs(x[k]) == min1, min2, min1)
+            flip = neg_par ^ (x[k] < 0)
+            scr_out[bufc, k] = jnp.where(flip, -tmp, tmp).astype(out_dtype)
+        # per-tile syndrome of the INPUT signs, pad rows forced ok
+        pad_ok = (jax.lax.broadcasted_iota(jnp.int32, (NT, B), 0)
+                  >= nreal[st])
+        synd_ref[...] = jnp.broadcast_to(
+            jnp.min((pad_ok | ~neg_par).astype(jnp.int32), axis=0,
+                    keepdims=True),
+            (8, B),
+        ).astype(jnp.int8)
+
+    ranges3 = tuple((lo, hi, d) for lo, hi, d, _ in ch.ranges_d)
+    if not _static_parity(ranges3):
+        _for_class_std(ch.ranges_d, st, lambda d, nt: compute(d, buf))
+    else:
+        for lo_r, hi_r, d_r, _nt in ch.ranges_d:
+            for bufc in range(2):
+                @pl.when(_in_class(st, lo_r, hi_r) & (buf == bufc))
+                def _(d_r=d_r, bufc=bufc):
+                    compute(d_r, bufc)
+
+    _for_class_std(ch.ranges_d, st,
+                   lambda d, nt: ch.start_out(o_ref, scr_out, sem_out,
+                                              base8, st, buf, d, nt))
+    @pl.when(st == nsteps - 1)
+    def _():
+        _for_class_std(ch.ranges_d, st,
+                       lambda d, nt: ch.drain_out(o_ref, scr_out, sem_out,
+                                                  base8, st, buf, d, nt))
+        @pl.when(nsteps >= 2)
+        def _():
+            _for_class_std(ch.ranges_d, st - 1,
+                           lambda d, nt: ch.drain_out(o_ref, scr_out,
+                                                      sem_out, base8,
+                                                      st - 1, 1 - buf, d,
+                                                      nt))
+
+
+def cn_std_pass(m_cn, cn_blocks, dtype=None):
+    """Min-LUT CN update on the std CN-grouped slot-major array.
+
+    m_cn (E_cn_pad, B) values -> (same-layout outputs, synd_ok (B,))."""
+    B = m_cn.shape[1]
+    ranges, class_order, base, node0, nreal, NT = _std_schedule(
+        cn_blocks, lambda d: _std_nt(B, d, m_cn.dtype.itemsize))
+    max_d = max(blk.degree for blk in cn_blocks)
+    chor = _StdChor(NT, ranges)
+    nrows = base.shape[0]
+    kern = functools.partial(_cn_std_kernel, chor=chor, out_dtype=m_cn.dtype)
+    out, synd = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct(m_cn.shape, m_cn.dtype),
+            jax.ShapeDtypeStruct((nrows * 8, B), jnp.int8),
+        ],
+        grid=(nrows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, max_d, NT, B), m_cn.dtype),
+            pltpu.VMEM((2, max_d, NT, B), m_cn.dtype),
+            pltpu.SemaphoreType.DMA((2, max_d)),
+            pltpu.SemaphoreType.DMA((2, max_d)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(_smem_i32(base.T // 8), _smem_i32(nreal), m_cn)
+    synd_ok = jnp.min(synd.reshape(-1, 8, B)[:, 0], axis=0) != 0
+    return out, synd_ok
+
+
+def _vn_std_kernel(*refs, chor, ops_by_class, use_tot_by_class,
+                   nops_by_class, out_dtype):
+    ch = chor
+    nclasses = len(ops_by_class)
+    nprm = sum(nops_by_class)
+    (base8, node8, nreal, m_ref, cha_ref) = refs[:5]
+    prm_flat = refs[5 : 5 + 4 * nprm]
+    o_ref, bits_ref, unan_ref = refs[5 + 4 * nprm : 8 + 4 * nprm]
+    (scr_in, scr_cha, scr_bits, scr_out,
+     sem_in, sem_cha, sem_bits, sem_out) = refs[8 + 4 * nprm:]
+    prm_by_class = []
+    off = 0
+    for c in range(nclasses):
+        prm_by_class.append([
+            prm_flat[4 * (off + oi) : 4 * (off + oi) + 4]
+            for oi in range(nops_by_class[c])
+        ])
+        off += nops_by_class[c]
+
+    st = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    buf = jax.lax.rem(st, 2)
+    NT = ch.NT
+    B = scr_cha.shape[-1]
+
+    def cha_dma(row, b, ntb):
+        return pltpu.make_async_copy(
+            cha_ref.at[pl.ds(pl.multiple_of(node8[row] * 8, 8), ntb)],
+            scr_cha.at[b, pl.ds(0, ntb)], sem_cha.at[b],
+        )
+
+    def bits_dma(row, b, ntb):
+        return pltpu.make_async_copy(
+            scr_bits.at[b, pl.ds(0, ntb)],
+            bits_ref.at[pl.ds(pl.multiple_of(node8[row] * 8, 8), ntb)],
+            sem_bits.at[b],
+        )
+
+    @pl.when(st == 0)
+    def _():
+        def start(d, nt):
+            cha_dma(st, buf, nt).start()
+            ch.start_in(m_ref, scr_in, sem_in, base8, st, buf, d, nt)
+        _for_class_std(ch.ranges_d, st, start)
+    @pl.when(st + 1 < nsteps)
+    def _():
+        def start(d, nt):
+            cha_dma(st + 1, 1 - buf, nt).start()
+            ch.start_in(m_ref, scr_in, sem_in, base8, st + 1, 1 - buf, d,
+                        nt)
+        _for_class_std(ch.ranges_d, st + 1, start)
+    _for_class_std(ch.ranges_d, st,
+                   lambda d, nt: ch.wait_in(scr_in, sem_in, buf, d))
+    _for_class_std(ch.ranges_d, st,
+                   lambda d, nt: cha_dma(st, buf, nt).wait())
+
+    def drain_step(row, b):
+        def dr(d, nt):
+            ch.drain_out(o_ref, scr_out, sem_out, base8, row, b, d, nt)
+            bits_dma(row, b, nt).wait()
+        _for_class_std(ch.ranges_d, row, dr)
+
+    @pl.when(st >= 2)
+    def _():
+        drain_step(st - 2, buf)
+
+    def compute(d, c, bufc):
+        msg = [scr_in[bufc, k].astype(jnp.float32) for k in range(d)]
+        cha = scr_cha[bufc].astype(jnp.float32)
+        neg0, agree = _vn_class_compute(
+            msg, cha, scr_out, bufc, d, ops_by_class[c], prm_by_class[c],
+            use_tot_by_class[c], out_dtype, NT, B,
+        )
+        scr_bits[bufc] = neg0.astype(jnp.int8)
+        pad_ok = (jax.lax.broadcasted_iota(jnp.int32, (NT, B), 0)
+                  >= nreal[st])
+        unan_ref[...] = jnp.broadcast_to(
+            jnp.min((pad_ok | agree).astype(jnp.int32), axis=0,
+                    keepdims=True),
+            (8, B),
+        ).astype(jnp.int8)
+
+    ranges3 = tuple((lo, hi, d) for lo, hi, d, _ in ch.ranges_d)
+    if not _static_parity(ranges3):
+        for ci_r, (lo, hi, d, _nt) in enumerate(ch.ranges_d):
+            @pl.when(_in_class(st, lo, hi))
+            def _(d=d, ci_r=ci_r):
+                compute(d, ci_r, buf)
+    else:
+        for ci_r, (lo, hi, d, _nt) in enumerate(ch.ranges_d):
+            for bufc in range(2):
+                @pl.when(_in_class(st, lo, hi) & (buf == bufc))
+                def _(d=d, ci_r=ci_r, bufc=bufc):
+                    compute(d, ci_r, bufc)
+
+    def finish(d, nt):
+        ch.start_out(o_ref, scr_out, sem_out, base8, st, buf, d, nt)
+        bits_dma(st, buf, nt).start()
+    _for_class_std(ch.ranges_d, st, finish)
+    @pl.when(st == nsteps - 1)
+    def _():
+        drain_step(st, buf)
+        @pl.when(nsteps >= 2)
+        def _():
+            drain_step(st - 1, 1 - buf)
+
+
+def vn_std_pass(m_c2v, cha, vn_blocks, nvar_pad, structs, prm_by_class,
+                use_tot_by_class, flags_by_class):
+    """VN threshold-tree update on the std VN-grouped slot-major array.
+
+    m_c2v (E_vn_pad, B) c2v values, cha (nvar_pad, B) channel values ->
+    (v2c values same layout, bits (nvar_pad, B) int8, unan (B,) bool).
+    structs/prm/use_tot/flags per VN block (ascending-degree order), one
+    iteration's params — same contracts as vn_qc_pass."""
+    B = m_c2v.shape[1]
+    ranges, class_order, base, node0, nreal, NT = _std_schedule(
+        vn_blocks, lambda d: _std_nt(B, d + 1, m_c2v.dtype.itemsize))
+    max_d = max(blk.degree for blk in vn_blocks)
+    chor = _StdChor(NT, ranges)
+    nrows = base.shape[0]
+
+    ops_by_class = []
+    nops_by_class = []
+    prm_args = []
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    prm_dtype = jnp.float32
+    from .arith import loo_msg_spans
+
+    for c in class_order:
+        struct = structs[c]
+        flags = flags_by_class[c]
+        spans = loo_msg_spans(struct)
+        ops_static = tuple(
+            (tuple(int(x) for x in op.operands),
+             int(prm_by_class[c][oi]["thr"].shape[-1]),
+             bool(flags[oi]["sym"]), bool(flags[oi]["has_tie"]),
+             False, spans[oi])
+            for oi, op in enumerate(struct.ops)
+        )
+        ops_by_class.append(ops_static)
+        nops_by_class.append(len(struct.ops))
+        for oi in range(len(struct.ops)):
+            p = prm_by_class[c][oi]
+            for key in ("thr", "levels", "tie_lo", "tie_hi"):
+                a = jnp.asarray(p[key], prm_dtype).reshape(1, -1)
+                prm_args.append(a)
+                in_specs.append(
+                    pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+                )
+
+    kern = functools.partial(
+        _vn_std_kernel, chor=chor, ops_by_class=tuple(ops_by_class),
+        use_tot_by_class=tuple(
+            bool(use_tot_by_class[c]) for c in class_order),
+        nops_by_class=tuple(nops_by_class), out_dtype=m_c2v.dtype,
+    )
+    out, bits, unan = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct(m_c2v.shape, m_c2v.dtype),
+            jax.ShapeDtypeStruct((nvar_pad, B), jnp.int8),
+            jax.ShapeDtypeStruct((nrows * 8, B), jnp.int8),
+        ],
+        grid=(nrows,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, max_d, NT, B), m_c2v.dtype),
+            pltpu.VMEM((2, NT, B), m_c2v.dtype),
+            pltpu.VMEM((2, NT, B), jnp.int8),
+            pltpu.VMEM((2, max_d, NT, B), m_c2v.dtype),
+            pltpu.SemaphoreType.DMA((2, max_d)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, max_d)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(_smem_i32(base.T // 8), _smem_i32(node0 // 8), _smem_i32(nreal),
+      m_c2v, cha, *prm_args)
+    return out, bits, unan.reshape(-1, 8, B)[:, 0].min(axis=0) != 0
