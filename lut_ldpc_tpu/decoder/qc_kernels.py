@@ -1022,7 +1022,11 @@ def vn_qc_pass(m_cn, cha, plan, geom: QCGeom, nvar_pad, structs,
 def _std_nt(B: int, d: int, itemsize: int) -> int:
     """Tile rows for the std kernels: the same measured-24 default and
     accurate VMEM hard bound as pick_nt (no halo here, but the compute
-    locality argument is identical); LUT_STD_NT overrides for scans."""
+    locality argument is identical).  LUT_STD_NT overrides for scans —
+    experimental: values above the default can exceed the schedulable
+    VMEM of the dv=17 select-chain tree at DVB-S2 scale and fault at
+    run time (the hard bound counts scratch buffers, not the sweeps'
+    live temporaries); the default is measured-optimal AND safe."""
     force = os.environ.get("LUT_STD_NT")
     per_row_hard = ((5 * d + 3) * itemsize + 2 + (2 * d + 6) * 4) * B
     nt_hard = (_VMEM_LIMIT - (2 << 20)) // per_row_hard // 8 * 8
@@ -1090,10 +1094,13 @@ class _StdChor:
                 scr_in.at[buf, k, pl.ds(0, ntb)], sem_in.at[buf, k],
             ).start()
 
-    def wait_in(self, scr_in, sem_in, buf, d):
+    def wait_in(self, scr_in, sem_in, buf, d, ntb):
+        # the wait's byte count must match the ntb-sliced copy: a
+        # full-buffer wait deadlocks/faults when classes mix tile sizes
         for k in range(d):
             pltpu.make_async_copy(
-                scr_in.at[buf, k], scr_in.at[buf, k], sem_in.at[buf, k]
+                scr_in.at[buf, k, pl.ds(0, ntb)],
+                scr_in.at[buf, k, pl.ds(0, ntb)], sem_in.at[buf, k]
             ).wait()
 
     def out_dma(self, o_ref, scr_out, sem_out, base8, row, buf, k, ntb):
@@ -1133,7 +1140,7 @@ def _cn_std_kernel(base8, nreal, m_ref, o_ref, synd_ref, scr_in, scr_out,
                                                  base8, st + 1, 1 - buf,
                                                  d, nt))
     _for_class_std(ch.ranges_d, st,
-                   lambda d, nt: ch.wait_in(scr_in, sem_in, buf, d))
+                   lambda d, nt: ch.wait_in(scr_in, sem_in, buf, d, nt))
 
     @pl.when(st >= 2)
     def _():
@@ -1288,7 +1295,7 @@ def _vn_std_kernel(*refs, chor, ops_by_class, use_tot_by_class,
                         nt)
         _for_class_std(ch.ranges_d, st + 1, start)
     _for_class_std(ch.ranges_d, st,
-                   lambda d, nt: ch.wait_in(scr_in, sem_in, buf, d))
+                   lambda d, nt: ch.wait_in(scr_in, sem_in, buf, d, nt))
     _for_class_std(ch.ranges_d, st,
                    lambda d, nt: cha_dma(st, buf, nt).wait())
 

@@ -22,6 +22,9 @@ from lut_ldpc_tpu.core.tanner import TannerGraph
 from lut_ldpc_tpu.decoder import LUTCodec
 from lut_ldpc_tpu.ops.pmf import snr2sig
 
+import os as _os
+HERE_TESTS = _os.path.dirname(_os.path.abspath(__file__))
+
 Z = 16
 Q = 4          # rows per block-diagonal residue; M = Z * Q
 M = Z * Q      # 64 checks
@@ -310,3 +313,36 @@ def test_codec_roundtrip_preserves_qc(analog_codec, tmp_path):
         b1, i1 = codec.decode_ref(lc[b], lm[b])
         b2, i2 = codec2.decode_ref(lc[b], lm[b])
         assert np.array_equal(b1, b2) and i1 == i2
+
+
+def test_std_kernels_match_golden_unstructured(monkeypatch):
+    """STD-layout kernel path (interpret mode) == scalar golden model on
+    an unstructured graph with MIXED degree-class sizes including a
+    degree-1 node (mixed per-class tile lengths — the configuration that
+    exposed the sliced-DMA semaphore accounting)."""
+    import sys as _sys
+
+    _sys.path.insert(0, HERE_TESTS)
+    from util_codes import random_regular_H
+
+    from lut_ldpc_tpu.decoder.arith_decoder import ArithLUTDecoder
+
+    rng = np.random.default_rng(5)
+    H = random_regular_H(96, 3, 6, seed=3).copy()
+    # carve a degree-1 variable and an irregular column out of the
+    # regular base so the layout has small and large degree classes
+    H[:, 0] = 0
+    H[0, 0] = 1
+    monkeypatch.setenv("LUT_LDPC_PALLAS_INTERPRET", "1")
+    g = TannerGraph.from_dense(H)
+    codec = LUTCodec.design(g, 0.81, max_iters=6, Nq_Cha=16, Nq_Msg=16)
+    dec = ArithLUTDecoder(codec, early_exit=True)
+    assert dec._build_qc_pallas() is None
+    assert dec._build_std_kernels() is not None
+    lc, lm = _frames(codec, 16, 2)
+    bits, ok, iters = (np.asarray(x) for x in dec(lc, lm))
+    for b in range(16):
+        want, want_it = codec.decode_ref(lc[b], lm[b])
+        assert np.array_equal(bits[b], want), f"frame {b}"
+        assert iters[b] == abs(want_it), f"frame {b}"
+        assert ok[b] == (want_it > 0), f"frame {b}"
