@@ -890,8 +890,16 @@ class ArithLUTDecoder:
         op_keys = qk.kernel_op_keys(flags_blk)
         KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
 
+        xla_fallback = None
+
         def decode(llr_cha, llr_msg):
             B = llr_cha.shape[0]
+            if B < 128 and not qk._interpret():
+                # narrower than one lane tile (see _build_qc_pallas)
+                nonlocal xla_fallback
+                if xla_fallback is None:
+                    xla_fallback = self._build(raw=raw)
+                return xla_fallback(llr_cha, llr_msg)
             cha_lab = llr_cha[:, self._vn_nodes].T
             msg_lab = llr_msg[:, self._vn_nodes].T
             vcha = self._select_values(cha_lab, self._leaf_cha)
@@ -1123,8 +1131,20 @@ class ArithLUTDecoder:
         op_keys = qk.kernel_op_keys(flags_blk)
         KSLOTS = ("thr", "levels", "tie_lo", "tie_hi")
 
+        xla_fallback = None
+
         def decode(llr_cha, *state):
             B = llr_cha.shape[0]
+            if B < 128 and not qk._interpret():
+                # narrower than one lane tile: Mosaic rejects the DMA
+                # shapes — delegate to the XLA path (same outputs; B is
+                # static at trace time so this is a compile-time branch)
+                nonlocal xla_fallback
+                if xla_fallback is None:
+                    xla_fallback = (self._build(raw=raw) if cont_from is None
+                                    else None)
+                if xla_fallback is not None:
+                    return xla_fallback(llr_cha, *state)
             # geometry is fixed by the WIDEST batch (this trace's B): the
             # funnel's narrower stages reuse it so carry shapes stay fixed
             geom = qk.qc_geometry(qcp, B, itemsize)
