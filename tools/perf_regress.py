@@ -64,7 +64,10 @@ def _timeit(fn, *args, reps=3, warmup=2):
     for _ in range(reps):
         t0 = time.perf_counter()
         out = jax.block_until_ready(fn(*args))
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        # one dependent SCALAR fetch (slice on device first: np.asarray
+        # of a full output leaf would drag the whole tensor through the
+        # tunnel and time the transfer, not the decode)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -161,6 +164,32 @@ def record() -> dict:
     entry["compile_s"] = round(time.perf_counter() - t0, 1)
     entry["headline_decode_ms"] = round(
         _timeit(lambda a, b: dec(a, b), llr_cha, llr_msg, reps=5) * 1e3, 1)
+
+    # end-to-end decode at DVB-S2 scale: the standard ETSI matrix in its
+    # QC factorization (fused kernels) and the unstructured PEG alist
+    # (STD-layout kernels around XLA gathers); B=1024, SNR 1.6 dB inputs
+    # give a deterministic ~full-budget decode on both
+    from lut_ldpc_tpu.core.dvbs2 import load_periodic_alist
+    from lut_ldpc_tpu.core.tanner import TannerGraph
+    from lut_ldpc_tpu.decoder import LUTCodec
+    from lut_ldpc_tpu.decoder.arith_decoder import ArithLUTDecoder
+
+    def e2e(graph):
+        codec = LUTCodec.design(graph, 0.90 ** 2, max_iters=50,
+                                Nq_Cha=16, Nq_Msg=16)
+        d = ArithLUTDecoder(codec, early_exit=True)
+        sg = float(snr2sig(0.5, 1.6))
+        yy = 1.0 + sg * rng.standard_normal((1024, codec.nvar))
+        lc, lm = codec.quantize_channel(2.0 * yy / sg ** 2)
+        lc = jnp.asarray(lc, jnp.int8)
+        lm = jnp.asarray(lm, jnp.int8)
+        return round(_timeit(lambda a, b: d(a, b), lc, lm) * 1e3, 1)
+
+    gq, _, _ = load_periodic_alist(
+        "/root/reference/codes/rate0.50_irreg_dvbs2_N64800.alist")
+    entry["dvbs2_decode_ms"] = e2e(gq)
+    entry["peg_decode_ms"] = e2e(TannerGraph.from_alist(os.path.join(
+        ROOT, "codes", "rate0.50_dv02-17_dc08-09_lut_q4_N64800.alist")))
     return entry
 
 
@@ -168,7 +197,7 @@ def record() -> dict:
 # time is noisier than steady-state kernel timing but a 2x jump is
 # exactly the r02->r03 regression this tool exists to catch)
 METRICS = ("n10000_fused_ms", "n64800_fused_ms", "headline_decode_ms",
-           "compile_s")
+           "dvbs2_decode_ms", "peg_decode_ms", "compile_s")
 COMPILE_TOL = 0.5
 
 
@@ -204,7 +233,11 @@ def check(tol: float) -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["record", "check"])
-    ap.add_argument("--tol", type=float, default=0.05)
+    ap.add_argument("--tol", type=float, default=0.12,
+                    help="decay tolerance; the tunneled chip shows ~10%% "
+                         "session-to-session variance on the kernel scans "
+                         "(compile_s doubles run to run), so the default "
+                         "brackets the environment noise floor")
     args = ap.parse_args()
     if args.mode == "record":
         if not _on_tpu():
