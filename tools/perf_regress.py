@@ -196,9 +196,18 @@ def record() -> dict:
 # compile_s carries a looser implicit tolerance via COMPILE_TOL (compile
 # time is noisier than steady-state kernel timing but a 2x jump is
 # exactly the r02->r03 regression this tool exists to catch)
-METRICS = ("n10000_fused_ms", "n64800_fused_ms", "headline_decode_ms",
-           "dvbs2_decode_ms", "peg_decode_ms", "compile_s")
-COMPILE_TOL = 0.5
+# GATED metrics: the end-to-end decodes are stable run-to-run (±9%
+# measured same-session).  The isolated kernel scans (n*_fused_ms) stay
+# in the records for reference but are NOT gated: their scan-dependency
+# hack copies the full halo state every step, so they time copy
+# bandwidth as much as the kernels and drift ±15% while the e2e decodes
+# of the very same kernels hold still.
+METRICS = ("headline_decode_ms", "dvbs2_decode_ms", "peg_decode_ms",
+           "compile_s")
+# compile time depends on the remote compile cache's state (warm 8.9 s /
+# cold 19 s observed same-day, same rev) — gate only on >2x growth, which
+# still catches the r02->r03 2.2x regression this tool was built for
+COMPILE_TOL = 1.0
 
 
 def check(tol: float) -> int:
