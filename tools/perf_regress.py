@@ -220,13 +220,18 @@ def check(tol: float) -> int:
         return 0
     cur, prev = hist[-1], hist[-4:-1]
     rc = 0
+    import statistics
+
     for m in METRICS:
         vals = [p[m] for p in prev if m in p]
         now = cur.get(m)
         if not vals:
             print(f"{m:22s} no prior records — skipped")
             continue
-        best = min(vals)
+        # compile: best-of-prior is always the warmest-cache outlier;
+        # compare against the median so a single warm run cannot make
+        # every later cold compile look like a regression
+        best = statistics.median(vals) if m == "compile_s" else min(vals)
         if now is None:
             continue
         m_tol = COMPILE_TOL if m == "compile_s" else tol
