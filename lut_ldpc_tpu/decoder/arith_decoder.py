@@ -860,7 +860,7 @@ class ArithLUTDecoder:
             return False
         return qc_kernels_supported()
 
-    def _build_std_kernels(self, raw: bool = False):
+    def _build_std_kernels(self, raw: bool = False, cont_from=None):
         """Gather-permutation decode loop with kernel compute.
 
         The same early-exit carry structure as _build_qc_pallas (bits_p /
@@ -869,11 +869,19 @@ class ArithLUTDecoder:
         funnel, phantom pinned-edge semantics, and XLA decision tail are
         shared contracts.  ~4x the XLA elementwise path's compute speed
         on the PEG N=64800 code (the r01 profile's compute:gather ratio
-        bound the gather path at ~11 Mbit/s)."""
+        bound the gather path at ~11 Mbit/s).
+
+        cont_from=k: CONTINUATION segment for the mixed-precision hybrid
+        (same contract as _build_qc_pallas's cont_from, with v0_edges
+        already in this path's native std grouped layout)."""
         if not self._use_std_kernels():
             return None
+        if cont_from is not None and not self.early_exit:
+            raise ValueError("cont_from requires early-exit mode")
         if self._ph and any(p["td"] != 1 for p in self._ph):
             return None  # input-copy unanimity trick covers true degree 1
+        if self._ph and cont_from is not None:
+            return None  # mixed seam not phantom-aware
         from . import qc_kernels as qk
 
         lay = self.layout
@@ -892,35 +900,43 @@ class ArithLUTDecoder:
 
         xla_fallback = None
 
-        def decode(llr_cha, llr_msg):
+        def decode(llr_cha, *state):
             B = llr_cha.shape[0]
-            if B < 128 and not qk._interpret():
+            if B < 128 and not qk._interpret() and cont_from is None:
                 # narrower than one lane tile (see _build_qc_pallas)
                 nonlocal xla_fallback
                 if xla_fallback is None:
                     xla_fallback = self._build(raw=raw)
-                return xla_fallback(llr_cha, llr_msg)
+                return xla_fallback(llr_cha, *state)
             cha_lab = llr_cha[:, self._vn_nodes].T
-            msg_lab = llr_msg[:, self._vn_nodes].T
             vcha = self._select_values(cha_lab, self._leaf_cha)
-            v0 = self._select_values(msg_lab, self._leaf_msg0)
-            parts = []
-            for blk in lay.vn_blocks:
-                seg = v0[blk.node_start : blk.node_start + blk.n_pad]
-                parts.append(
-                    jnp.broadcast_to(seg[None], (blk.degree, blk.n_pad, B))
-                    .reshape(-1, B))
-            m_vn = jnp.concatenate(parts, axis=0)  # (E_vn_pad, B)
             pin = (jnp.asarray(self._pin, self._dtype) if self._ph
                    else None)
-            for p in self._ph:
-                m_vn = m_vn.at[jnp.asarray(p["rows_ph"])].set(pin)
+            if cont_from is None:
+                llr_msg, = state
+                msg_lab = llr_msg[:, self._vn_nodes].T
+                v0 = self._select_values(msg_lab, self._leaf_msg0)
+                parts = []
+                for blk in lay.vn_blocks:
+                    seg = v0[blk.node_start : blk.node_start + blk.n_pad]
+                    parts.append(
+                        jnp.broadcast_to(seg[None],
+                                         (blk.degree, blk.n_pad, B))
+                        .reshape(-1, B))
+                m_vn = jnp.concatenate(parts, axis=0)  # (E_vn_pad, B)
+                for p in self._ph:
+                    m_vn = m_vn.at[jnp.asarray(p["rows_ph"])].set(pin)
 
-            bits_p = jnp.zeros((nvp, B), dtype=jnp.int8)
-            unan_p = jnp.zeros((B,), dtype=bool)
-            done = jnp.zeros((B,), dtype=bool)
-            latched = jnp.zeros((nvp, B), dtype=jnp.int8)
-            iters = jnp.full((B,), T, dtype=jnp.int32)
+                bits_p = jnp.zeros((nvp, B), dtype=jnp.int8)
+                unan_p = jnp.zeros((B,), dtype=bool)
+                done = jnp.zeros((B,), dtype=bool)
+                latched = jnp.zeros((nvp, B), dtype=jnp.int8)
+                iters = jnp.full((B,), T, dtype=jnp.int32)
+            else:
+                v0_edges, bits_p, unan_p, done, latched, iters = state
+                m_vn = jnp.asarray(v0_edges, self._dtype)
+                bits_p = jnp.asarray(bits_p, jnp.int8)
+                latched = jnp.asarray(latched, jnp.int8)
 
             def body(carry, x, vcha_s):
                 m_vn, bits_p, unan_p, done, latched, iters = carry
@@ -983,7 +999,8 @@ class ArithLUTDecoder:
                     return wcond, wbody
 
                 widths = self._funnel_widths(B)
-                it = jnp.zeros((), jnp.int32)
+                it = jnp.full((), 0 if cont_from is None else cont_from,
+                              jnp.int32)
                 vcha_s = vcha
                 stack = []
                 for si, W in enumerate(widths):

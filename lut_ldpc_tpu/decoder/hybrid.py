@@ -125,8 +125,8 @@ class HybridLUTDecoder:
             raise ArithBuildError("no valid arithmetic prefix")
 
         # mixed-precision middle segment: int16 prefix + f32 continuation
-        # (only when f32 genuinely extends the int16 coverage and the
-        # fused QC kernels are available for the continuation)
+        # (only when f32 genuinely extends the int16 coverage and a
+        # kernel path — QC-fused or std-layout — carries the continuation)
         self.mid = None
         self._mid_cont = None
         if (spec16 is not None and spec32 is not None
@@ -136,9 +136,11 @@ class HybridLUTDecoder:
             if t16 is not None and t32 is not None and len(t16) == len(t32):
                 pre16 = ArithLUTDecoder(codec, early_exit=True, spec=spec16)
                 mid32 = ArithLUTDecoder(codec, early_exit=True, spec=spec32)
-                cont = mid32._build_qc_pallas(
-                    raw=True, cont_from=spec16.num_iters)
-                if cont is not None and pre16._use_qc_kernels():
+                cont = (mid32._build_qc_pallas(
+                            raw=True, cont_from=spec16.num_iters)
+                        or mid32._build_std_kernels(
+                            raw=True, cont_from=spec16.num_iters))
+                if cont is not None:
                     self.pre = pre16
                     self.mid = mid32
                     self._mid_cont = cont
@@ -295,9 +297,11 @@ class MixedArithDecoder:
             raise ArithBuildError("seam value tables not invertible")
         self.pre = ArithLUTDecoder(codec, early_exit=True, spec=spec16)
         self.fin = ArithLUTDecoder(codec, early_exit=True, spec=spec32)
-        fin_cont = self.fin._build_qc_pallas(cont_from=S16)
-        if fin_cont is None or not self.pre._use_qc_kernels():
-            raise ArithBuildError("mixed arith requires the QC kernel path")
+        fin_cont = (self.fin._build_qc_pallas(cont_from=S16)
+                    or self.fin._build_std_kernels(cont_from=S16))
+        if fin_cont is None:
+            raise ArithBuildError("mixed arith requires a kernel decode "
+                                  "path (QC-fused or std-layout)")
         self.S16 = S16
         self.S = spec32.num_iters
         self.T = codec.max_iters

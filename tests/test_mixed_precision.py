@@ -104,3 +104,32 @@ def test_mixed_bit_identical_to_table_decoder(codec_mixed, monkeypatch, snr):
     assert np.array_equal(ok1, ok2)
     assert np.array_equal(it1, it2)
     assert np.array_equal(b1, b2)
+
+
+def test_mixed_arith_std_path(codec_mixed, monkeypatch):
+    """The mixed int16-front composition also engages on NON-QC graphs
+    via the std-layout kernels (the continuation segment rides
+    cn_std_pass/vn_std_pass around XLA gathers), bit-identical to the
+    table decoder."""
+    from lut_ldpc_tpu.core.tanner import TannerGraph
+    from lut_ldpc_tpu.decoder.fast_decoder import make_decoder
+    from lut_ldpc_tpu.decoder.hybrid import MixedArithDecoder
+
+    monkeypatch.setenv("LUT_LDPC_PALLAS_INTERPRET", "1")
+    g = TannerGraph.from_dense(codec_mixed.graph.to_dense())
+    assert getattr(g, "qc", None) is None
+    codec = LUTCodec.design(g, 0.90**2, max_iters=50, Nq_Cha=16, Nq_Msg=16)
+    dec = make_decoder(codec, early_exit=True)
+    assert isinstance(dec, MixedArithDecoder)
+    assert dec.S16 == 43 and dec.S == 49
+    assert dec.fin._build_qc_pallas() is None  # really the std path
+    ref = FastLUTDecoder(codec, early_exit=True)
+    rng = np.random.default_rng(13)
+    sig = float(snr2sig(0.5, 1.8))
+    y = 1.0 + sig * rng.standard_normal((8, codec.nvar))
+    lc, lm = codec.quantize_channel(2.0 * y / sig**2)
+    b1, ok1, it1 = [np.asarray(a) for a in dec(lc, lm)]
+    b2, ok2, it2 = [np.asarray(a) for a in ref(lc, lm)]
+    assert np.array_equal(ok1, ok2)
+    assert np.array_equal(it1, it2)
+    assert np.array_equal(b1, b2)
