@@ -106,23 +106,40 @@ def test_mixed_bit_identical_to_table_decoder(codec_mixed, monkeypatch, snr):
     assert np.array_equal(b1, b2)
 
 
-def test_mixed_arith_std_path(codec_mixed, monkeypatch):
-    """The mixed int16-front composition also engages on NON-QC graphs
-    via the std-layout kernels (the continuation segment rides
-    cn_std_pass/vn_std_pass around XLA gathers), bit-identical to the
-    table decoder."""
+@pytest.fixture(scope="module")
+def codec_mixed_std(codec_mixed):
     from lut_ldpc_tpu.core.tanner import TannerGraph
+
+    g = TannerGraph.from_dense(codec_mixed.graph.to_dense())
+    assert getattr(g, "qc", None) is None
+    return LUTCodec.design(g, 0.90**2, max_iters=50, Nq_Cha=16, Nq_Msg=16)
+
+
+def test_mixed_arith_std_selected(codec_mixed_std, monkeypatch):
+    """The mixed int16-front composition also engages on NON-QC graphs
+    via the std-layout kernels (build-time structural check; the decode
+    identity runs in the slow lane — its interpret-kernel compile costs
+    ~80 s)."""
     from lut_ldpc_tpu.decoder.fast_decoder import make_decoder
     from lut_ldpc_tpu.decoder.hybrid import MixedArithDecoder
 
     monkeypatch.setenv("LUT_LDPC_PALLAS_INTERPRET", "1")
-    g = TannerGraph.from_dense(codec_mixed.graph.to_dense())
-    assert getattr(g, "qc", None) is None
-    codec = LUTCodec.design(g, 0.90**2, max_iters=50, Nq_Cha=16, Nq_Msg=16)
-    dec = make_decoder(codec, early_exit=True)
+    dec = make_decoder(codec_mixed_std, early_exit=True)
     assert isinstance(dec, MixedArithDecoder)
     assert dec.S16 == 43 and dec.S == 49
     assert dec.fin._build_qc_pallas() is None  # really the std path
+
+
+@pytest.mark.slow
+def test_mixed_arith_std_path(codec_mixed_std, monkeypatch):
+    """std-path mixed decode == table decoder, bit for bit."""
+    from lut_ldpc_tpu.decoder.fast_decoder import make_decoder
+    from lut_ldpc_tpu.decoder.hybrid import MixedArithDecoder
+
+    monkeypatch.setenv("LUT_LDPC_PALLAS_INTERPRET", "1")
+    codec = codec_mixed_std
+    dec = make_decoder(codec, early_exit=True)
+    assert isinstance(dec, MixedArithDecoder)
     ref = FastLUTDecoder(codec, early_exit=True)
     rng = np.random.default_rng(13)
     sig = float(snr2sig(0.5, 1.8))
