@@ -92,6 +92,17 @@ def make_decoder(codec: LUTCodec, early_exit: bool = True):
             pass
     from .lut_decoder import LUTDecoder
 
+    if getattr(codec.graph, "qc_phantoms", ()) and codec.max_iters > 20 \
+            and codec.nvar > 10000:
+        import warnings
+
+        warnings.warn(
+            f"no arithmetic spec validates for this phantom-completed "
+            f"codec; falling back to the unrolled table decoder "
+            f"({codec.max_iters} iterations at N={codec.nvar} compiles "
+            f"slowly) — consider the unpermuted realization "
+            f"(LDPC.qc_detect=0) or a design sigma whose f32 spec "
+            f"validates", stacklevel=2)
     return LUTDecoder(codec, early_exit=early_exit)
 
 
